@@ -1,0 +1,35 @@
+"""nmpc_tpu — a TPU-native nonlinear model predictive control framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of isri-aist/NMPC
+(three solver families: DDP/iLQG, FMPC = DMS + primal-dual interior point +
+Riccati, and C/GMRES continuation), redesigned TPU-first: autodiff
+derivatives, scan-based recursions, batched solves via vmap, multi-chip
+scaling via jax.sharding/pjit.
+"""
+
+from nmpc_tpu.core.problem import ContinuousProblem, Problem
+from nmpc_tpu.core.types import (
+    BoxQPConfig,
+    BoxQPStatus,
+    DDPConfig,
+    DDPResult,
+    DDPStatus,
+    DDPTrace,
+)
+from nmpc_tpu.solvers.ddp import DDPSolver
+from nmpc_tpu.solvers.boxqp import boxqp_solve
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Problem",
+    "ContinuousProblem",
+    "DDPConfig",
+    "DDPResult",
+    "DDPStatus",
+    "DDPTrace",
+    "DDPSolver",
+    "BoxQPConfig",
+    "BoxQPStatus",
+    "boxqp_solve",
+]

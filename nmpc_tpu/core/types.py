@@ -1,0 +1,173 @@
+"""Core pytree / config types for the TPU-native NMPC framework.
+
+Design notes
+------------
+Configurations are **frozen Python dataclasses** (hashable, baked into jit
+traces as static constants), mirroring the plain-struct ``Configuration``
+objects of the reference (``nmpc_ddp/include/nmpc_ddp/DDPSolver.h:47-110``,
+``nmpc_fmpc/include/nmpc_fmpc/FmpcSolver.h:58-89``).
+
+Results and traces are **registered pytree dataclasses** of jnp arrays so
+they flow through jit/vmap/pjit and are trivially checkpointable — the TPU
+equivalent of the reference's ``ControlData`` / ``TraceData`` structs
+(``DDPSolver.h:113-216``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def pytree_dataclass(cls):
+    """Register a dataclass as a JAX pytree (all fields are children)."""
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+class DDPStatus(enum.IntEnum):
+    """Per-solve status (per-batch-lane under vmap).
+
+    Mirrors the reference's tri-state return of ``DDPSolver::procOnce``
+    (``DDPSolver.hpp:144``: 0 continue, 1 terminate, -1 failure) plus the
+    max-iteration exit (``DDPSolver.hpp:116-123``: loop ends with retval 0
+    and ``solve`` returns false).
+    """
+
+    RUNNING = 0
+    SUCCEEDED = 1            # small gradient or small cost update
+    MAX_ITER_REACHED = 2     # loop exhausted (reference: solve() -> false)
+    FAIL_BACKWARD_LAMBDA = 3  # lambda > lambda_max in backward retry loop
+    FAIL_FORWARD_LAMBDA = 4   # lambda > lambda_max after rejected forward
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPConfig:
+    """DDP solver configuration.
+
+    Field-for-field equivalent of the reference ``DDPSolver::Configuration``
+    (``nmpc_ddp/include/nmpc_ddp/DDPSolver.h:47-110``).  ``alpha_list`` is the
+    reference's 11-point log-spaced backtracking schedule 10^0..10^-3
+    (``DDPSolver.h:50-60``).  TPU redesign: all alphas are rolled out in
+    parallel (extra vmap axis) and the first acceptable one is selected,
+    which reproduces the reference's first-accepted-in-order semantics.
+    """
+
+    horizon_steps: int = 100
+    max_iter: int = 500
+    use_state_eq_second_derivative: bool = False
+    with_input_constraint: bool = False
+    reg_type: int = 1              # 1: Quu + lambda I, 2: Vxx + lambda I
+    initial_lambda: float = 1e-4
+    initial_dlambda: float = 1.0
+    lambda_factor: float = 1.6
+    lambda_min: float = 1e-6
+    lambda_max: float = 1e10
+    k_rel_norm_thre: float = 1e-4
+    lambda_thre: float = 1e-5
+    alpha_list: tuple = tuple(10.0 ** e for e in
+                              [0.0, -0.3, -0.6, -0.9, -1.2, -1.5, -1.8,
+                               -2.1, -2.4, -2.7, -3.0])
+    cost_update_ratio_thre: float = 0.0
+    cost_update_thre: float = 1e-7
+    # Max backward-pass lambda-retry attempts per iteration. The reference
+    # retries unboundedly until lambda > lambda_max (DDPSolver.hpp:191-209);
+    # from lambda_min to lambda_max with factor 1.6 that is at most
+    # ~ log(1e16)/log(1.6) + margin ~= 80 retries, so 100 is semantically
+    # unbounded while keeping a static bound for diagnostics.
+    max_backward_retries: int = 100
+    # BoxQP sub-solver settings (reference BoxQP.h:33-55)
+    boxqp: "BoxQPConfig" = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.boxqp is None:
+            object.__setattr__(self, "boxqp", BoxQPConfig())
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxQPConfig:
+    """Projected-Newton BoxQP configuration.
+
+    Equivalent of reference ``BoxQP::Configuration``
+    (``nmpc_ddp/include/nmpc_ddp/BoxQP.h:33-55``) with the same defaults,
+    except ``max_iter`` defaults to 100 (reference 500): the fixed-point
+    masked reformulation converges in a handful of iterations for the
+    small input dimensions this inner kernel sees, and the loop exits early
+    once all lanes converge.
+    """
+
+    max_iter: int = 100
+    grad_thre: float = 1e-8
+    rel_improve_thre: float = 1e-8
+    step_factor: float = 0.6
+    min_step: float = 1e-22
+    armijo_param: float = 0.1
+    max_ls_iter: int = 80   # static bound: 0.6^80 < 1e-22 = min_step
+
+
+class BoxQPStatus(enum.IntEnum):
+    """Return codes, matching the reference table ``BoxQP.h:375-383``."""
+
+    NOT_FINISHED = 0
+    MAX_ITER = 1
+    MAX_LS_ITER = 2
+    NO_BOUNDS = 3
+    SMALL_IMPROVEMENT = 4
+    SMALL_GRADIENT = 5
+    ALL_CLAMPED = 6
+    HESSIAN_NOT_PD = -1
+    POSITIVE_DIR_DERIV = -2
+
+
+@pytree_dataclass
+class DDPTrace:
+    """Per-iteration optimization trace, fixed-size arrays [max_iter+1].
+
+    Schema mirrors reference ``DDPSolver::TraceData`` (``DDPSolver.h:179-216``);
+    row 0 is the initial-rollout row (``DDPSolver.hpp:97-104``). Durations are
+    measured on the host (see utils/timing.py) since device code is traced.
+    """
+
+    iter: jnp.ndarray
+    cost: jnp.ndarray
+    lam: jnp.ndarray
+    dlam: jnp.ndarray
+    alpha: jnp.ndarray
+    k_rel_norm: jnp.ndarray
+    cost_update_actual: jnp.ndarray
+    cost_update_expected: jnp.ndarray
+    cost_update_ratio: jnp.ndarray
+
+
+@pytree_dataclass
+class DDPResult:
+    """Result of one DDP solve (batched: every leaf gains a leading axis).
+
+    ``xs``/``us``/``costs`` mirror ``DDPSolver::ControlData``
+    (``DDPSolver.h:113-123``); ``ks``/``Ks`` are the feedforward/feedback
+    gains (``DDPSolver.h:358-362``), exposed for inter-solve affine feedback
+    like the reference FMPC cart-pole driver (``TestFmpcCartPole.cpp:351-356``).
+    """
+
+    status: jnp.ndarray        # int32, DDPStatus
+    success: jnp.ndarray       # bool  (status == SUCCEEDED)
+    iters: jnp.ndarray         # int32 number of iterations executed
+    xs: jnp.ndarray            # [N+1, nx]
+    us: jnp.ndarray            # [N, nu]
+    costs: jnp.ndarray         # [N+1]
+    ks: jnp.ndarray            # [N, nu]
+    Ks: jnp.ndarray            # [N, nu, nx]
+    lam: jnp.ndarray
+    dlam: jnp.ndarray
+    trace: DDPTrace
+
+
+def default_float() -> Any:
+    """Framework-wide default floating dtype (f64 when x64 is enabled)."""
+    return jnp.asarray(0.0).dtype

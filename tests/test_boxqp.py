@@ -1,0 +1,111 @@
+"""BoxQP kernel tests.
+
+Mirrors the reference's unit-test pattern of QPs with known solutions
+(``nmpc_ddp/tests/src/TestBoxQP.cpp:35-98``, tol 1e-6).  The golden solver
+here enumerates all active-set patterns (exact for convex box-QPs of small
+dimension), which is independent of the projected-Newton path under test."""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nmpc_tpu import BoxQPConfig, boxqp_solve
+
+
+def golden_boxqp(H, g, lower, upper):
+    """Exact solution by enumerating clamp patterns (convex, small n)."""
+    n = len(g)
+    best, best_obj = None, np.inf
+    for pattern in itertools.product([0, 1, 2], repeat=n):  # 0 free,1 lo,2 hi
+        x = np.zeros(n)
+        free = [i for i, p in enumerate(pattern) if p == 0]
+        for i, p in enumerate(pattern):
+            if p == 1:
+                x[i] = lower[i]
+            elif p == 2:
+                x[i] = upper[i]
+        if free:
+            Hff = H[np.ix_(free, free)]
+            clamped = [i for i in range(n) if i not in free]
+            rhs = g[free] + (H[np.ix_(free, clamped)] @ x[clamped]
+                             if clamped else 0.0)
+            x[free] = np.linalg.solve(Hff, -rhs)
+            if np.any(x[free] < lower[free] - 1e-12) or np.any(
+                x[free] > upper[free] + 1e-12
+            ):
+                continue
+        grad = g + H @ x
+        ok = True
+        for i, p in enumerate(pattern):
+            if p == 0 and abs(grad[i]) > 1e-9:
+                ok = False
+            if p == 1 and grad[i] < -1e-9:
+                ok = False
+            if p == 2 and grad[i] > 1e-9:
+                ok = False
+        if not ok:
+            continue
+        obj = x @ g + 0.5 * x @ H @ x
+        if obj < best_obj - 1e-15:
+            best, best_obj = x.copy(), obj
+    return best
+
+
+def _random_psd(rng, n, cond=10.0):
+    A = rng.normal(size=(n, n))
+    Q, _ = np.linalg.qr(A)
+    eigs = np.linspace(1.0, cond, n)
+    return Q @ np.diag(eigs) @ Q.T
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4])
+def test_random_qps_match_enumeration(n):
+    rng = np.random.default_rng(42 + n)
+    for trial in range(20):
+        H = _random_psd(rng, n)
+        g = rng.normal(size=n) * 2
+        lower = -np.abs(rng.normal(size=n))
+        upper = np.abs(rng.normal(size=n))
+        x_gold = golden_boxqp(H, g, lower, upper)
+        res = boxqp_solve(jnp.asarray(H), jnp.asarray(g),
+                          jnp.asarray(lower), jnp.asarray(upper),
+                          jnp.zeros(n))
+        assert int(res.status) >= 0, f"trial {trial}: status {res.status}"
+        np.testing.assert_allclose(np.asarray(res.x), x_gold, atol=1e-6)
+
+
+def test_unconstrained_interior():
+    H = np.array([[2.0, 0.3], [0.3, 1.0]])
+    g = np.array([0.1, -0.2])
+    x_newton = np.linalg.solve(H, -g)
+    res = boxqp_solve(jnp.asarray(H), jnp.asarray(g),
+                      jnp.full(2, -10.0), jnp.full(2, 10.0), jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(res.x), x_newton, atol=1e-8)
+    assert np.all(np.asarray(res.free_mask))
+
+
+def test_fully_clamped():
+    H = np.eye(2)
+    g = np.array([5.0, 5.0])  # optimum far below lower bound
+    res = boxqp_solve(jnp.asarray(H), jnp.asarray(g),
+                      jnp.full(2, -1.0), jnp.full(2, 1.0), jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(res.x), [-1.0, -1.0], atol=1e-8)
+    assert int(res.status) >= 0
+
+
+def test_free_set_and_chol_expose_feedback_solve():
+    """The exposed (free_mask, chol) solve free-row systems like the
+    reference's llt_free_ (BoxQP.h:386-389 used at DDPSolver.hpp:482-496)."""
+    rng = np.random.default_rng(7)
+    H = _random_psd(rng, 3)
+    g = np.array([4.0, -0.1, 0.05])
+    lower, upper = np.full(3, -1.0), np.full(3, 1.0)
+    res = boxqp_solve(jnp.asarray(H), jnp.asarray(g),
+                      jnp.asarray(lower), jnp.asarray(upper), jnp.zeros(3))
+    fm = np.asarray(res.free_mask)
+    chol = np.asarray(res.chol)
+    # masked system reconstructs F H F + C
+    M = np.outer(fm, fm) * H + np.diag(1.0 - fm.astype(float))
+    np.testing.assert_allclose(chol @ chol.T, M, atol=1e-8)
