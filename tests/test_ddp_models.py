@@ -1,0 +1,78 @@
+"""Closed-loop tests for the bipedal and vertical-motion DDP families.
+
+Reference assertions reproduced: bipedal |planned_zmp - ref_zmp| < 1e-2 each
+step and final |CoM - ZMP| < 1e-2 (``TestDDPBipedal.cpp:252-273``); vertical
+motion final |pos - ref| < 1e-2, |vel| < 1e-2 with and without force limits
+(``TestDDPVerticalMotion.cpp:329-332``)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmpc_tpu import DDPConfig, DDPSolver
+from nmpc_tpu.models.bipedal import (
+    example_omega2_func,
+    example_ref_zmp_func,
+    make_bipedal_problem,
+)
+from nmpc_tpu.models.vertical import make_vertical_problem, num_contacts
+from nmpc_tpu.mpc.driver import run_mpc, shift_warm_start
+
+
+def test_bipedal_mpc():
+    dt = 0.01
+    end_t = 20.0
+    horizon_steps = 300
+    ref_zmp = example_ref_zmp_func(end_t)
+    problem = make_bipedal_problem(dt, ref_zmp, example_omega2_func())
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=horizon_steps,
+                                          max_iter=500))
+    zmp_errs = []
+
+    def cb(t, x, u, res):
+        zmp_errs.append(abs(float(u[0]) - float(ref_zmp(t))))
+
+    log = run_mpc(solver, jnp.zeros(2), t0=0.0, end_t=end_t, callback=cb)
+    assert max(zmp_errs) < 1e-2
+    final_x = log.xs[-1]
+    ref = float(ref_zmp(end_t))
+    assert abs(final_x[0] - ref) < 1e-2
+    assert abs(final_x[1]) < 1e-2
+
+
+@pytest.mark.parametrize("with_constraint", [True, False])
+def test_vertical_motion_mpc(with_constraint):
+    dt = 0.01
+    horizon_steps = 300
+    problem = make_vertical_problem(dt, with_limits=with_constraint)
+    solver = DDPSolver(
+        problem,
+        DDPConfig(horizon_steps=horizon_steps, max_iter=3,
+                  initial_lambda=1e-6,
+                  with_input_constraint=with_constraint),
+    )
+    log = run_mpc(solver, jnp.array([1.2, 0.0]), t0=0.0, end_t=10.0)
+    # per-step envelope (TestDDPVerticalMotion.cpp:303-305)
+    ref = np.where(log.ts + 1e-6 < 8.0, 1.0, 0.0)
+    assert np.all(np.abs(log.xs[:, 0] - ref) < 1.0)
+    # final convergence
+    assert abs(log.xs[-1, 0] - 0.0) < 1e-2
+    assert abs(log.xs[-1, 1]) < 1e-2
+    if with_constraint:
+        assert log.us.min() >= -1e-9
+        assert log.us.max() <= 30.0 + 1e-9
+    # masked dims stay at zero force
+    for i, t in enumerate(log.ts):
+        n = int(num_contacts(t))
+        assert np.all(np.abs(log.us[i, n:]) < 1e-12)
+
+
+def test_shift_warm_start_mask_change():
+    problem = make_vertical_problem(0.01)
+    N = 10
+    us = jnp.ones((N, 2))
+    # at t=2.0+ the terminal mask flips from 1 to 2 active contacts around
+    # t_term crossing 2.0; pick t_next so t_term_old has 1, t_term_new has 2
+    t_next = 2.0 - 10 * 0.01 + 0.005
+    shifted = shift_warm_start(problem, t_next, us)
+    assert shifted.shape == us.shape
