@@ -15,9 +15,15 @@ from nmpc_tpu.core.types import (
     DDPResult,
     DDPStatus,
     DDPTrace,
+    FmpcConfig,
+    FmpcResult,
+    FmpcStatus,
+    FmpcVariable,
+    fmpc_variable_reset,
 )
 from nmpc_tpu.solvers.ddp import DDPSolver
 from nmpc_tpu.solvers.boxqp import boxqp_solve
+from nmpc_tpu.solvers.fmpc import FmpcSolver
 
 __version__ = "0.1.0"
 
@@ -29,6 +35,12 @@ __all__ = [
     "DDPStatus",
     "DDPTrace",
     "DDPSolver",
+    "FmpcConfig",
+    "FmpcResult",
+    "FmpcStatus",
+    "FmpcVariable",
+    "fmpc_variable_reset",
+    "FmpcSolver",
     "BoxQPConfig",
     "BoxQPStatus",
     "boxqp_solve",

@@ -168,6 +168,88 @@ class DDPResult:
     trace: DDPTrace
 
 
+class FmpcStatus(enum.IntEnum):
+    """FMPC result status, matching the reference enum values
+    (``nmpc_fmpc/include/nmpc_fmpc/FmpcSolver.h:92-114``)."""
+
+    UNINITIALIZED = 0
+    SUCCEEDED = 1
+    ERROR_IN_FORWARD = 2
+    ERROR_IN_BACKWARD = 3
+    ERROR_IN_UPDATE = 4
+    MAX_ITERATION_REACHED = 5
+    ITERATION_CONTINUED = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class FmpcConfig:
+    """FMPC solver configuration, field-for-field with the reference
+    ``FmpcSolver::Configuration`` (``FmpcSolver.h:58-89``) plus static
+    bounds for jit-compiled loops."""
+
+    horizon_steps: int = 100
+    max_iter: int = 10
+    kkt_error_thre: float = 1e-4
+    check_nan: bool = True
+    init_complementary_variable: bool = False
+    update_barrier_eps: bool = True
+    break_if_llt_fails: bool = False
+    enable_line_search: bool = False
+    merit_const_scale_from_lagrange_multipliers: bool = False
+    # static bound for the merit-function Armijo backtracking while-loop
+    # (reference: alpha_s_min = 1e-10 with halving => <= ~35 steps,
+    # FmpcSolver.hpp:759-792)
+    max_line_search_iter: int = 40
+
+
+@pytree_dataclass
+class FmpcVariable:
+    """Primal-dual iterate, the pytree equivalent of the reference
+    ``FmpcSolver::Variable`` (``FmpcSolver.h:117-158``).  Being an explicit
+    pytree it doubles as the warm-start / checkpoint state."""
+
+    xs: jnp.ndarray       # [N+1, nx]
+    us: jnp.ndarray       # [N, nu]
+    lambdas: jnp.ndarray  # [N+1, nx]  equality (dynamics) multipliers
+    ss: jnp.ndarray       # [N, ng]    slack variables (>= 0)
+    nus: jnp.ndarray      # [N, ng]    inequality multipliers (>= 0)
+
+
+def fmpc_variable_reset(N, nx, nu, ng, x=0.0, u=0.0, lam=0.0, s=1.0, nu_=1.0,
+                        dtype=None):
+    """Constant-filled iterate (``FmpcSolver::Variable::reset``,
+    ``FmpcSolver.hpp:42-68``)."""
+    dtype = dtype or default_float()
+    return FmpcVariable(
+        xs=jnp.full((N + 1, nx), x, dtype),
+        us=jnp.full((N, nu), u, dtype),
+        lambdas=jnp.full((N + 1, nx), lam, dtype),
+        ss=jnp.full((N, ng), s, dtype),
+        nus=jnp.full((N, ng), nu_, dtype),
+    )
+
+
+@pytree_dataclass
+class FmpcTrace:
+    """Per-iteration trace (``FmpcSolver::TraceData``, ``FmpcSolver.h:232-251``)."""
+
+    iter: jnp.ndarray
+    kkt_error: jnp.ndarray
+
+
+@pytree_dataclass
+class FmpcResult:
+    status: jnp.ndarray        # int32 FmpcStatus
+    iters: jnp.ndarray
+    variable: FmpcVariable
+    kkt_error: jnp.ndarray     # KKT error at termination check
+    ks: jnp.ndarray            # [N, nu] feedforward gains from last backward
+    Ks: jnp.ndarray            # [N, nu, nx] feedback gains (used for
+    #                            inter-solve feedback, TestFmpcCartPole.cpp:351-356)
+    barrier_eps: jnp.ndarray   # final barrier parameter (carry across solves)
+    trace: FmpcTrace
+
+
 def default_float() -> Any:
     """Framework-wide default floating dtype (f64 when x64 is enabled)."""
     return jnp.asarray(0.0).dtype

@@ -1,0 +1,518 @@
+"""FMPC solver: direct multiple shooting + primal-dual interior point +
+stagewise Riccati recursion, TPU-native.
+
+Algorithmic equivalent of the reference ``nmpc_fmpc::FmpcSolver``
+(``nmpc_fmpc/include/nmpc_fmpc/FmpcSolver.hpp``; Katayama PhD thesis §2.2):
+
+  * linearized-KKT coefficients A,B,C,D,Lx̄,Lū,x̄,ḡ per stage
+    (``FmpcSolver.hpp:401-440``),
+  * barrier update eps = clamp(sigma * avg(s'nu)) (``:377-399``),
+  * KKT-error termination with max(s∘nu - eps, 0) complementarity residual
+    (``:443-448, 495-521``),
+  * condensed backward Riccati eliminating (s, nu) through the nu/s diagonal
+    (``:524-665``), with the LDLT -> FullPivLU robustness fallback
+    (``:594-618``),
+  * forward recursion for (Δx, Δu, Δλ, Δs, Δν) (``:667-708``),
+  * fraction-to-boundary step sizes (``:713-750``) and optional l1-merit
+    Armijo line search (``:752-793, 836-982``),
+  * NaN/Inf detection on coefficients and deltas (``:10-18, 649-662``).
+
+TPU-first redesign: coefficients are one vmapped autodiff sweep; the Riccati
+recursion is a ``lax.scan``; the PDIP iteration loop is a ``lax.while_loop``
+with per-lane ``FmpcStatus`` (a diverging lane cannot abort a batch);
+time-varying input/inequality dimensions are static padding + masks
+(``FmpcProblem.h:75-86``): masked inequality rows are pinned to
+g = -1, s = 1, nu = 0 with zeroed Jacobian rows, which makes them exact
+no-ops in every sum, product, and step-size rule.
+
+Note on the reference's negativity clamp (``FmpcSolver.hpp:813-829``): it
+clamps with ``std::numeric_limits<double>::lowest()`` — i.e. a no-op — so
+slightly-negative s/nu after a full step are *kept*, only warned about.  We
+reproduce that behavior (no clamp) for parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nmpc_tpu.core.problem import Problem
+from nmpc_tpu.core.types import (
+    FmpcConfig,
+    FmpcResult,
+    FmpcStatus,
+    FmpcTrace,
+    FmpcVariable,
+)
+
+_BARRIER_EPS_INIT = 1e-4   # FmpcSolver.h:414
+_BARRIER_EPS_MIN = 1e-8    # FmpcSolver.hpp:396
+_BARRIER_EPS_MAX = 1e6     # FmpcSolver.hpp:397
+_SIGMA = 0.5               # FmpcSolver.hpp:392
+_FTB_MARGIN = 0.995        # fraction-to-boundary margin, FmpcSolver.hpp:719
+
+
+class _Coeffs(NamedTuple):
+    A: jnp.ndarray       # [N, nx, nx]
+    B: jnp.ndarray       # [N, nx, nu]
+    C: jnp.ndarray       # [N, ng, nx]
+    D: jnp.ndarray       # [N, ng, nu]
+    Lx: jnp.ndarray      # [N, nx]
+    Lu: jnp.ndarray      # [N, nu]
+    Lxx: jnp.ndarray     # [N, nx, nx]
+    Luu: jnp.ndarray     # [N, nu, nu]
+    Lxu: jnp.ndarray     # [N, nx, nu]
+    x_bar: jnp.ndarray   # [N, nx]
+    g_bar: jnp.ndarray   # [N, ng]
+    Lx_bar: jnp.ndarray  # [N, nx]
+    Lu_bar: jnp.ndarray  # [N, nu]
+    imask: jnp.ndarray   # [N, nu] active-input mask (float)
+    gmask: jnp.ndarray   # [N, ng] active-inequality mask (float)
+    Lx_term: jnp.ndarray     # [nx]
+    Lxx_term: jnp.ndarray    # [nx, nx]
+    Lx_bar_term: jnp.ndarray  # [nx]
+
+
+class FmpcSolver:
+    """Factory wrapping a problem+config into jitted solve functions."""
+
+    def __init__(self, problem: Problem, config: FmpcConfig = FmpcConfig()):
+        assert problem.ineq_const is not None and problem.ineq_dim > 0, (
+            "FMPC requires a problem with inequality constraints"
+        )
+        self.problem = problem
+        self.config = config
+        self.raw_solve = functools.partial(_solve, problem, config)
+        self.raw_solve_batch = jax.vmap(self.raw_solve, in_axes=(None, 0, 0, 0))
+        self._solve = jax.jit(self.raw_solve)
+        self._solve_batch = jax.jit(self.raw_solve_batch)
+
+    def solve(self, t0, x0, variable: FmpcVariable,
+              barrier_eps=_BARRIER_EPS_INIT) -> FmpcResult:
+        """One solve (``FmpcSolver::solve``, ``FmpcSolver.hpp:158-257``).
+        ``variable`` is the warm start (full primal-dual state)."""
+        return self._solve(t0, x0, variable, jnp.asarray(barrier_eps))
+
+    def solve_batch(self, t0, x0s, variables, barrier_epss) -> FmpcResult:
+        return self._solve_batch(t0, x0s, variables, barrier_epss)
+
+
+# --------------------------------------------------------------------------
+
+
+def _masks_at(problem, t, dtype):
+    im = problem.input_mask_at(t).astype(dtype)
+    gm = problem.ineq_mask_at(t).astype(dtype)
+    return im, gm
+
+
+def _coeffs(problem: Problem, config: FmpcConfig, t0, x0, var: FmpcVariable,
+            ) -> _Coeffs:
+    """Linearized KKT coefficients (``FmpcSolver.hpp:401-440``)."""
+    N = config.horizon_steps
+    dt = problem.dt
+    dtype = var.xs.dtype
+    ts = t0 + dt * jnp.arange(N, dtype=dtype)
+
+    def one(t, x, x_next, u, lam, lam_next, s, nu):
+        im, gm = _masks_at(problem, t, dtype)
+        A, B = problem.linearize_dynamics(t, x, u)
+        C, D = problem.linearize_ineq(t, x, u)
+        Lx, Lu, Lxx, Luu, Lxu = problem.quadraticize_running_cost(t, x, u)
+
+        # masked-dimension embedding (see module docstring)
+        B = B * im[None, :]
+        Lu = Lu * im
+        Luu = Luu * (im[:, None] * im[None, :]) + jnp.diag(1.0 - im)
+        Lxu = Lxu * im[None, :]
+        C = C * gm[:, None]
+        D = D * (gm[:, None] * im[None, :])
+
+        g = problem.ineq_const(t, x, u)
+        g = jnp.where(gm > 0, g, -1.0)
+
+        x_bar = problem.dynamics(t, x, u) - x_next          # (2.23c)
+        g_bar = jnp.where(gm > 0, g + s, 0.0)               # (2.23d)
+        Lx_bar = -lam + dt * Lx + A.T @ lam_next + C.T @ nu  # (2.25b)
+        Lu_bar = dt * Lu + B.T @ lam_next + D.T @ nu         # (2.25c)
+        return (A, B, C, D, Lx, Lu, Lxx, Luu, Lxu,
+                x_bar, g_bar, Lx_bar, Lu_bar, im, gm)
+
+    outs = jax.vmap(one)(ts, var.xs[:-1], var.xs[1:], var.us,
+                         var.lambdas[:-1], var.lambdas[1:], var.ss, var.nus)
+
+    t_term = t0 + N * dt
+    Lx_T, Lxx_T = problem.quadraticize_terminal_cost(t_term, var.xs[-1])
+    Lx_bar_T = Lx_T - var.lambdas[-1]                        # (2.25a)
+
+    return _Coeffs(*outs, Lx_T, Lxx_T, Lx_bar_T)
+
+
+def _kkt_error(x0, var: FmpcVariable, co: _Coeffs, barrier_eps):
+    """KKT residual norm (``FmpcSolver.hpp:496-521``); complementarity term
+    is max(s∘nu - eps, 0) on active rows."""
+    e = jnp.sum((x0 - var.xs[0]) ** 2)
+    e += jnp.sum(co.x_bar**2) + jnp.sum(co.g_bar**2)
+    e += jnp.sum(co.Lx_bar**2) + jnp.sum(co.Lu_bar**2)
+    comp = jnp.maximum(var.ss * var.nus - barrier_eps, 0.0) * co.gmask
+    e += jnp.sum(comp**2)
+    e += jnp.sum(co.Lx_bar_term**2)
+    return jnp.sqrt(e)
+
+
+def _backward(problem: Problem, config: FmpcConfig, co: _Coeffs,
+              var: FmpcVariable, barrier_eps):
+    """Condensed Riccati recursion (``FmpcSolver.hpp:524-665``).
+    Returns (ks, Ks, ss_vec, Ps, ok_pd, finite)."""
+    dt = problem.dt
+    dtype = var.xs.dtype
+    nu_dim = problem.input_dim
+    eye_nu = jnp.eye(nu_dim, dtype=dtype)
+
+    s_T = -co.Lx_bar_term    # (2.34)
+    P_T = co.Lxx_term
+
+    def bstep(carry, inp):
+        s_vec, P, ok = carry
+        (A, B, C, D, Lxx, Luu, Lxu, x_bar, g_bar, Lx_bar, Lu_bar,
+         s_i, nu_i, gm) = inp
+
+        nu_s = jnp.where(gm > 0, nu_i / s_i, 0.0)
+        tilde_sub = jnp.where(
+            gm > 0, nu_s * g_bar - nu_i + barrier_eps / s_i, 0.0
+        )
+        Qxx_t = dt * Lxx + C.T @ (nu_s[:, None] * C)         # (2.28c)
+        Quu_t = dt * Luu + D.T @ (nu_s[:, None] * D)         # (2.28e)
+        Qxu_t = dt * Lxu + C.T @ (nu_s[:, None] * D)         # (2.28d)
+        Lx_t = Lx_bar + C.T @ tilde_sub                      # (2.28f)
+        Lu_t = Lu_bar + D.T @ tilde_sub                      # (2.28g)
+
+        F = Qxx_t + A.T @ P @ A                              # (2.35b)
+        H = Qxu_t + A.T @ P @ B                              # (2.35c)
+        G = Quu_t + B.T @ P @ B                              # (2.35d)
+
+        rhs_k = B.T @ (P @ x_bar - s_vec) + Lu_t
+        chol = jnp.linalg.cholesky(G)
+        pd = jnp.all(jnp.isfinite(chol))
+        chol_safe = jnp.where(pd, chol, eye_nu)
+        k_chol = -jax.scipy.linalg.cho_solve((chol_safe, True), rhs_k)
+        K_chol = -jax.scipy.linalg.cho_solve((chol_safe, True), H.T)
+        if config.break_if_llt_fails:
+            k, K = k_chol, K_chol
+            ok = ok & pd
+        else:
+            # LU fallback on non-PD G (FmpcSolver.hpp:608-617)
+            k_lu = -jnp.linalg.solve(G, rhs_k)
+            K_lu = -jnp.linalg.solve(G, H.T)
+            k = jnp.where(pd, k_chol, k_lu)
+            K = jnp.where(pd, K_chol, K_lu)
+
+        s_new = A.T @ (s_vec - P @ x_bar) - Lx_t - H @ k     # (2.35a)
+        P_new = F - K.T @ G @ K                              # (2.35a)
+        P_new = 0.5 * (P_new + P_new.T)
+
+        return (s_new, P_new, ok), (k, K, s_new, P_new)
+
+    inputs = (co.A, co.B, co.C, co.D, co.Lxx, co.Luu, co.Lxu,
+              co.x_bar, co.g_bar, co.Lx_bar, co.Lu_bar,
+              var.ss, var.nus, co.gmask)
+    (_, _, ok), (ks, Ks, ss_vec, Ps) = lax.scan(
+        bstep, (s_T, P_T, jnp.bool_(True)), inputs, reverse=True
+    )
+    # include the terminal (s, P) at index N
+    ss_all = jnp.concatenate([ss_vec, s_T[None]], axis=0)
+    Ps_all = jnp.concatenate([Ps, P_T[None]], axis=0)
+
+    finite = jnp.bool_(True)
+    if config.check_nan:
+        finite = (jnp.all(jnp.isfinite(ks)) & jnp.all(jnp.isfinite(Ks))
+                  & jnp.all(jnp.isfinite(ss_all)) & jnp.all(jnp.isfinite(Ps_all)))
+    return ks, Ks, ss_all, Ps_all, ok, finite
+
+
+def _forward(problem, config, co: _Coeffs, var: FmpcVariable, x0,
+             ks, Ks, ss_vec, Ps, barrier_eps):
+    """Forward recursion for the Newton direction (``FmpcSolver.hpp:668-708``).
+    Returns delta variable + finite flag."""
+    dx0 = x0 - var.xs[0]
+
+    def fstep(dx, inp):
+        A, B, x_bar, k, K = inp
+        du = K @ dx + k                                      # (2.36)
+        dx_next = A @ dx + B @ du + x_bar                    # (2.26b)
+        return dx_next, (dx, du)
+
+    _, (dxs, dus) = lax.scan(fstep, dx0, (co.A, co.B, co.x_bar, ks, Ks))
+    dxs = jnp.concatenate([dxs, (co.A[-1] @ dxs[-1] + co.B[-1] @ dus[-1]
+                                 + co.x_bar[-1])[None]], axis=0)
+    # Δλ_i = P_i Δx_i - s_i  (2.33)
+    dlams = jnp.einsum("nij,nj->ni", Ps, dxs) - ss_vec
+
+    # Δs, Δν (2.27a-b); masked rows pinned to zero
+    dss = -(jnp.einsum("nij,nj->ni", co.C, dxs[:-1])
+            + jnp.einsum("nij,nj->ni", co.D, dus) + co.g_bar)
+    dnus = -(var.nus * (dss + var.ss) - barrier_eps) / var.ss
+    dss = dss * co.gmask
+    dnus = dnus * co.gmask
+
+    delta = FmpcVariable(xs=dxs, us=dus, lambdas=dlams, ss=dss, nus=dnus)
+    finite = jnp.bool_(True)
+    if config.check_nan:
+        finite = jax.tree_util.tree_reduce(
+            lambda a, leaf: a & jnp.all(jnp.isfinite(leaf)),
+            delta, jnp.bool_(True),
+        )
+    return delta, finite
+
+
+def _l1_dir_deriv(func, jac_dot_dir):
+    """Directional derivative of ||func||_1 along jac@dir
+    (Nocedal & Wright A.51; reference ``MathUtils.h:17-38``)."""
+    return jnp.sum(jnp.where(func > 0, jac_dot_dir,
+                             jnp.where(func < 0, -jac_dot_dir,
+                                       jnp.abs(jac_dot_dir))))
+
+
+def _merit_pieces(problem, config, t0, x0, var: FmpcVariable, barrier_eps,
+                  gmask):
+    """(merit_obj, merit_const) of the l1 merit function
+    (``FmpcSolver.hpp:936-982``)."""
+    N = config.horizon_steps
+    dt = problem.dt
+    dtype = var.xs.dtype
+    ts = t0 + dt * jnp.arange(N, dtype=dtype)
+
+    def stage(t, x, x_next, u, s, gm):
+        obj = problem.running_cost(t, x, u) * dt
+        obj += -barrier_eps * jnp.sum(jnp.where(gm > 0, jnp.log(s), 0.0))
+        cx = problem.dynamics(t, x, u) - x_next
+        g = jnp.where(gm > 0, problem.ineq_const(t, x, u) + s, 0.0)
+        const = jnp.sum(jnp.abs(cx)) + jnp.sum(jnp.abs(g))
+        return obj, const
+
+    gms = jax.vmap(lambda t: problem.ineq_mask_at(t).astype(dtype))(ts)
+    objs, consts = jax.vmap(stage)(ts, var.xs[:-1], var.xs[1:], var.us,
+                                   var.ss, gms)
+    obj = jnp.sum(objs) + problem.terminal_cost(t0 + N * dt, var.xs[-1])
+    const = jnp.sum(consts) + jnp.sum(jnp.abs(x0 - var.xs[0]))
+    return obj, const
+
+
+def _update(problem, config, t0, x0, co: _Coeffs, var: FmpcVariable,
+            delta: FmpcVariable, barrier_eps):
+    """Fraction-to-boundary + optional line search + variable update
+    (``FmpcSolver.hpp:711-834``). Returns (new_var, ok)."""
+    gm = co.gmask
+
+    def ftb(v, dv):
+        cand = jnp.where((dv < 0) & (gm > 0), -_FTB_MARGIN * v / dv, 1.0)
+        return jnp.minimum(1.0, jnp.min(cand))
+
+    alpha_s_max = ftb(var.ss, delta.ss)
+    alpha_nu_max = ftb(var.nus, delta.nus)
+    valid = ((alpha_s_max > 0.0) & (alpha_s_max <= 1.0)
+             & (alpha_nu_max > 0.0) & (alpha_nu_max <= 1.0))
+
+    alpha_s = alpha_s_max
+    alpha_nu = alpha_nu_max
+
+    if config.enable_line_search:
+        # setupMeritFunc (FmpcSolver.hpp:837-933)
+        dt = problem.dt
+        merit_obj, merit_const = _merit_pieces(
+            problem, config, t0, x0, var, barrier_eps, gm)
+        # objective directional derivative
+        d_obj = jnp.sum((co.Lx * delta.xs[:-1]).sum(-1) * dt
+                        + (co.Lu * delta.us).sum(-1) * dt)
+        d_obj += -barrier_eps * jnp.sum(
+            jnp.where(gm > 0, delta.ss / var.ss, 0.0))
+        d_obj += co.Lx_term @ delta.xs[-1]
+        # constraint directional derivative via l1 rules
+        cx0 = x0 - var.xs[0]
+        d_const = _l1_dir_deriv(cx0, -delta.xs[0])
+        Adx = jnp.einsum("nij,nj->ni", co.A, delta.xs[:-1])
+        Bdu = jnp.einsum("nij,nj->ni", co.B, delta.us)
+        Cdx = jnp.einsum("nij,nj->ni", co.C, delta.xs[:-1])
+        Ddu = jnp.einsum("nij,nj->ni", co.D, delta.us)
+        # per-stage residuals recomputed like the reference (not from coeffs)
+        d_const += jnp.sum(jax.vmap(_l1_dir_deriv)(co.x_bar, Adx))
+        d_const += jnp.sum(jax.vmap(_l1_dir_deriv)(co.x_bar, Bdu))
+        d_const += jnp.sum(jax.vmap(_l1_dir_deriv)(co.x_bar, -delta.xs[1:]))
+        d_const += jnp.sum(jax.vmap(_l1_dir_deriv)(co.g_bar, Cdx))
+        d_const += jnp.sum(jax.vmap(_l1_dir_deriv)(co.g_bar, Ddu))
+        d_const += jnp.sum(jax.vmap(_l1_dir_deriv)(co.g_bar, delta.ss))
+
+        if config.merit_const_scale_from_lagrange_multipliers:
+            scale = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(var.lambdas)),
+                            jnp.max(jnp.abs(var.nus * gm))), 1e-3)
+        else:
+            rho = 0.5
+            scale = jnp.maximum(d_obj / ((1.0 - rho) * merit_const), 1e-3)
+
+        merit0 = merit_obj + scale * merit_const
+        merit_deriv = d_obj + scale * d_const
+
+        armijo_scale = 1e-3
+        alpha_min = 1e-10
+
+        def merit_at(alpha):
+            v = FmpcVariable(
+                xs=var.xs + alpha * delta.xs,
+                us=var.us + alpha * delta.us,
+                lambdas=var.lambdas,
+                ss=var.ss + alpha * delta.ss,
+                nus=var.nus,
+            )
+            o, c = _merit_pieces(problem, config, t0, x0, v, barrier_eps, gm)
+            return o + scale * c
+
+        def ls_cond(carry):
+            alpha, it = carry
+            fail = merit_at(alpha) >= merit0 + armijo_scale * alpha * merit_deriv
+            return fail & (alpha >= alpha_min) & (it < config.max_line_search_iter)
+
+        def ls_body(carry):
+            alpha, it = carry
+            return (alpha * 0.5, it + 1)
+
+        alpha_s, _ = lax.while_loop(ls_cond, ls_body, (alpha_s, jnp.int32(0)))
+
+    new_var = FmpcVariable(
+        xs=var.xs + alpha_s * delta.xs,
+        us=var.us + alpha_s * delta.us,
+        lambdas=var.lambdas + alpha_nu * delta.lambdas,
+        ss=var.ss + alpha_s * delta.ss,
+        nus=var.nus + alpha_nu * delta.nus,
+    )
+    return new_var, valid
+
+
+class _State(NamedTuple):
+    it: jnp.ndarray
+    status: jnp.ndarray
+    var: FmpcVariable
+    kkt: jnp.ndarray
+    ks: jnp.ndarray
+    Ks: jnp.ndarray
+    eps: jnp.ndarray
+    trace_kkt: jnp.ndarray
+
+
+def _solve(problem: Problem, config: FmpcConfig, t0, x0,
+           variable: FmpcVariable, barrier_eps0) -> FmpcResult:
+    """Full FMPC solve (``FmpcSolver::solve``, ``FmpcSolver.hpp:158-257``)."""
+    dtype = x0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    N = config.horizon_steps
+    nx, nu_dim, ng = problem.state_dim, problem.input_dim, problem.ineq_dim
+    dt = problem.dt
+    ts = t0 + dt * jnp.arange(N, dtype=dtype)
+    gms = jax.vmap(lambda t: problem.ineq_mask_at(t).astype(dtype))(ts)
+
+    var = variable
+    eps = jnp.asarray(barrier_eps0, dtype)
+
+    if config.init_complementary_variable:
+        # (FmpcSolver.hpp:171-188)
+        margin, cmin = 1e-2, 1e-2
+        eps = jnp.asarray(_BARRIER_EPS_INIT, dtype)
+        g0 = jax.vmap(problem.ineq_const)(ts, var.xs[:-1], var.us)
+        ss = (1.0 + margin) * jnp.maximum(-g0, cmin)
+        nus = (1.0 + margin) * jnp.maximum(eps / ss, cmin)
+        var = FmpcVariable(var.xs, var.us, var.lambdas, ss, nus)
+
+    # pin masked inequality rows to the inert fixed point (s=1, nu=0)
+    var = FmpcVariable(
+        xs=var.xs, us=var.us, lambdas=var.lambdas,
+        ss=jnp.where(gms > 0, var.ss, 1.0),
+        nus=jnp.where(gms > 0, var.nus, 0.0),
+    )
+
+    n_active = jnp.maximum(jnp.sum(gms), 1.0)
+
+    # The reference rejects negative (s, nu) warm starts with an exception
+    # (checkVariable, FmpcSolver.hpp:348-362); batched equivalent: per-lane
+    # UNINITIALIZED status, lane untouched.
+    ws_valid = jnp.all(var.ss * gms >= 0) & jnp.all(var.nus * gms >= 0)
+
+    state = _State(
+        it=jnp.int32(0),
+        status=jnp.where(ws_valid,
+                         jnp.int32(FmpcStatus.ITERATION_CONTINUED),
+                         jnp.int32(FmpcStatus.UNINITIALIZED)),
+        var=var,
+        kkt=jnp.asarray(jnp.inf, dtype),
+        ks=jnp.zeros((N, nu_dim), dtype),
+        Ks=jnp.zeros((N, nu_dim, nx), dtype),
+        eps=eps,
+        trace_kkt=jnp.zeros((config.max_iter + 1,), dtype),
+    )
+
+    def cond(s: _State):
+        return (s.status == FmpcStatus.ITERATION_CONTINUED) & (s.it < config.max_iter)
+
+    def body(s: _State):
+        it = s.it + 1
+        var = s.var
+        eps = s.eps
+
+        # barrier parameter update (FmpcSolver.hpp:377-399)
+        if config.update_barrier_eps:
+            s_nu_ave = jnp.sum(var.ss * var.nus * gms) / n_active
+            eps = jnp.clip(_SIGMA * s_nu_ave, _BARRIER_EPS_MIN, _BARRIER_EPS_MAX)
+
+        co = _coeffs(problem, config, t0, x0, var)
+        kkt = _kkt_error(x0, var, co, jnp.zeros((), dtype))
+        trace_kkt = s.trace_kkt.at[it].set(kkt)
+
+        succeeded = kkt <= config.kkt_error_thre
+
+        ks, Ks, ss_vec, Ps, bw_ok, bw_finite = _backward(
+            problem, config, co, var, eps)
+        bw_good = bw_ok & bw_finite
+
+        delta, fw_finite = _forward(problem, config, co, var, x0,
+                                    ks, Ks, ss_vec, Ps, eps)
+
+        new_var, up_ok = _update(problem, config, t0, x0, co, var, delta, eps)
+
+        status = jnp.int32(FmpcStatus.ITERATION_CONTINUED)
+        status = jnp.where(~up_ok, jnp.int32(FmpcStatus.ERROR_IN_UPDATE), status)
+        status = jnp.where(~fw_finite, jnp.int32(FmpcStatus.ERROR_IN_FORWARD), status)
+        status = jnp.where(~bw_good, jnp.int32(FmpcStatus.ERROR_IN_BACKWARD), status)
+        status = jnp.where(succeeded, jnp.int32(FmpcStatus.SUCCEEDED), status)
+
+        advance = status == FmpcStatus.ITERATION_CONTINUED
+        var_out = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(advance, new, old), new_var, var)
+        # gains always reflect the last backward pass that ran (the
+        # reference stores them into coeff_list_ during backwardPass)
+        ks_out = jnp.where(bw_good & ~succeeded, ks, s.ks)
+        Ks_out = jnp.where(bw_good & ~succeeded, Ks, s.Ks)
+
+        return _State(it=it, status=status, var=var_out, kkt=kkt,
+                      ks=ks_out, Ks=Ks_out, eps=eps, trace_kkt=trace_kkt)
+
+    out = lax.while_loop(cond, body, state)
+    status = jnp.where(
+        out.status == FmpcStatus.ITERATION_CONTINUED,
+        jnp.int32(FmpcStatus.MAX_ITERATION_REACHED), out.status)
+
+    return FmpcResult(
+        status=status,
+        iters=out.it,
+        variable=out.var,
+        kkt_error=out.kkt,
+        ks=out.ks,
+        Ks=out.Ks,
+        barrier_eps=out.eps,
+        trace=FmpcTrace(
+            iter=jnp.arange(config.max_iter + 1, dtype=jnp.int32),
+            kkt_error=out.trace_kkt,
+        ),
+    )
