@@ -24,6 +24,8 @@ from nmpc_tpu.core.types import (
 from nmpc_tpu.solvers.ddp import DDPSolver
 from nmpc_tpu.solvers.boxqp import boxqp_solve
 from nmpc_tpu.solvers.fmpc import FmpcSolver
+from nmpc_tpu.solvers.cgmres import CgmresConfig, CgmresSolver, CgmresState
+from nmpc_tpu.solvers.gmres import gmres
 
 __version__ = "0.1.0"
 
@@ -41,6 +43,10 @@ __all__ = [
     "FmpcVariable",
     "fmpc_variable_reset",
     "FmpcSolver",
+    "CgmresConfig",
+    "CgmresSolver",
+    "CgmresState",
+    "gmres",
     "BoxQPConfig",
     "BoxQPStatus",
     "boxqp_solve",
