@@ -1,0 +1,85 @@
+"""Centroidal model MPC, second-order DDP, and utils tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmpc_tpu import DDPConfig, DDPSolver, DDPStatus
+from nmpc_tpu.models.centroidal import (
+    example_ref_pos_func,
+    make_centroidal_problem,
+)
+from nmpc_tpu.models.cartpole import make_cartpole_problem
+from nmpc_tpu.models.oscillator import make_oscillator_problem
+from nmpc_tpu.mpc.driver import run_mpc
+from nmpc_tpu.utils.check import check_problem_derivatives
+from nmpc_tpu.utils.trace import dump_ddp_trace, load_trace
+from nmpc_tpu.utils.timing import timed_solve
+
+
+def test_centroidal_mpc():
+    """Reference closed-loop assertions (``TestDDPCentroidalMotion.cpp:351-353``):
+    final |CoM - ref| < 1e-2, momenta norm < 1.0, through a jump (flight
+    phase 1.4-1.6 s with zero contacts)."""
+    dt = 0.03
+    horizon_steps = 100
+    problem = make_centroidal_problem(dt)
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=horizon_steps,
+                                          max_iter=500))
+    x0 = jnp.concatenate([jnp.array([0.0, 0.0, 1.0]), jnp.zeros(6)])
+    log = run_mpc(solver, x0, t0=0.0, end_t=3.0)
+    ref = np.asarray(example_ref_pos_func()(log.ts[-1] + dt))
+    final_x = log.xs[-1]
+    # flight phase: all forces zero
+    fl = (log.ts > 1.41) & (log.ts < 1.59)
+    assert np.abs(log.us[fl]).max() < 1e-12
+    assert np.linalg.norm(final_x[:3] - ref) < 1e-2
+    assert np.linalg.norm(final_x[3:]) < 1.0
+
+
+def test_second_order_ddp():
+    """Full DDP with autodiff second-order dynamics terms — the feature the
+    reference declares but leaves unimplemented (``DDPSolver.hpp:391-414``).
+    Must converge on the nonlinear cart-pole and agree with iLQG's optimum."""
+    problem = make_cartpole_problem(0.01)
+    x0 = jnp.array([0.0, np.pi, 0.0, 0.0])
+    us0 = jnp.zeros((60, 1))
+    ilqg = DDPSolver(problem, DDPConfig(horizon_steps=60, max_iter=100))
+    full = DDPSolver(problem, DDPConfig(horizon_steps=60, max_iter=100,
+                                        use_state_eq_second_derivative=True))
+    r1 = ilqg.solve(0.0, x0, us0)
+    r2 = full.solve(0.0, x0, us0)
+    assert int(r1.status) == DDPStatus.SUCCEEDED
+    assert int(r2.status) == DDPStatus.SUCCEEDED
+    c1, c2 = float(jnp.sum(r1.costs)), float(jnp.sum(r2.costs))
+    # same local optimum
+    assert abs(c1 - c2) / c1 < 1e-5
+    np.testing.assert_allclose(np.asarray(r2.us), np.asarray(r1.us),
+                               atol=1e-3)
+
+
+def test_derivative_checker():
+    check_problem_derivatives(make_cartpole_problem(0.01), 0.0,
+                              [1.0, -2.0, 3.0, -4.0], [10.0])
+    check_problem_derivatives(make_oscillator_problem(0.01), 0.0,
+                              [0.1, -0.2], [0.3])
+
+
+def test_trace_dump_roundtrip(tmp_path):
+    problem = make_cartpole_problem(0.01)
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=30, max_iter=20))
+    res, dur = timed_solve(solver, 0.0, jnp.array([0.0, np.pi, 0.0, 0.0]),
+                           jnp.zeros((30, 1)))
+    assert dur.solve > 0
+    path = os.path.join(tmp_path, "trace.txt")
+    dump_ddp_trace(res, path)
+    data = load_trace(path)
+    # reference column schema (DDPSolver.hpp:567-578)
+    assert list(data.keys()) == [
+        "iter", "cost", "lambda", "dlambda", "alpha", "k_rel_norm",
+        "cost_update_actual", "cost_update_expected", "cost_update_ratio",
+        "duration_derivative", "duration_backward", "duration_forward"]
+    assert data["iter"].shape[0] == int(res.iters) + 1
+    assert data["cost"][0] == pytest.approx(float(res.trace.cost[0]))
