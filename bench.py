@@ -11,17 +11,16 @@ import json
 import time
 
 import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nmpc_tpu import DDPConfig, DDPSolver
+from nmpc_tpu.models.cartpole import make_cartpole_problem
 
 BASELINE_SOLVES_PER_S = 10_000.0
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from nmpc_tpu import DDPConfig, DDPSolver
-    from nmpc_tpu.models.cartpole import make_cartpole_problem
-
     # BASELINE.json config #1: cart-pole swing-up, horizon 100.
     problem = make_cartpole_problem(0.01)
     config = DDPConfig(horizon_steps=100, max_iter=10)
@@ -37,14 +36,17 @@ def main():
     t0 = jnp.float32(0.0)
 
     # warmup / compile
-    res = solver.solve_batch(t0, x0s, us0)
-    jax.block_until_ready(res)
+    for _ in range(3):
+        res = solver.solve_batch(t0, x0s, us0)
+        jax.block_until_ready(res)
 
+    # Queue all reps, sync once: per-call host sync pays a ~20 ms tunnel
+    # round-trip in this environment and would understate device throughput.
     n_rep = 5
     start = time.perf_counter()
     for _ in range(n_rep):
         res = solver.solve_batch(t0, x0s, us0)
-        jax.block_until_ready(res)
+    jax.block_until_ready(res)
     elapsed = time.perf_counter() - start
 
     solves_per_s = B * n_rep / elapsed

@@ -1,0 +1,75 @@
+"""Fully on-device closed-loop MPC simulation (batched).
+
+The reference's MPC loops are host-side (``TestDDPBipedal.cpp:243-267``);
+here the entire receding-horizon simulation — solve, apply u[0], plant step,
+warm-start shift — compiles to one ``lax.scan`` program, so thousands of
+closed-loop controllers run per chip with zero host round-trips.  This is
+the workload behind the p99-latency benchmark (the reference's real-time
+budget: 4 ms MPC tick for cart-pole, ``TestDDPCartPole.cpp:302-303``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nmpc_tpu.core.problem import Problem
+
+
+class ClosedLoopLog(NamedTuple):
+    ts: jnp.ndarray        # [S]
+    xs: jnp.ndarray        # [S, nx] state before each step
+    us: jnp.ndarray        # [S, nu] input applied
+    iters: jnp.ndarray     # [S] solver iterations
+    status: jnp.ndarray    # [S] solver status
+
+
+def make_closed_loop(solver, n_steps: int, sim_dynamics: Optional[Callable] = None,
+                     mpc_interval: int = 1):
+    """Build a jitted closed-loop simulator ``sim(t0, x0, us0) -> ClosedLoopLog``.
+
+    ``sim_dynamics(t, x, u)`` defaults to the problem dynamics (one horizon
+    dt per MPC step).  Batched via vmap over (x0, us0) automatically when
+    inputs carry a leading batch axis (use :func:`make_closed_loop_batch`).
+    """
+    problem: Problem = solver.problem
+    dt = problem.dt
+    if sim_dynamics is None:
+        sim_dynamics = problem.dynamics
+
+    def shift(t_next, us):
+        last = us[-1]
+        if problem.input_mask is not None:
+            N = us.shape[0]
+            t_term_new = t_next + N * dt
+            m_new = problem.input_mask_at(t_term_new)
+            m_old = problem.input_mask_at(t_term_new - dt)
+            same = jnp.all(m_new == m_old)
+            last = jnp.where(same, last * m_new, jnp.zeros_like(last))
+        return jnp.concatenate([us[1:], last[None]], axis=0)
+
+    def step(carry, i):
+        t, x, us = carry
+        res = solver.raw_solve(t, x, us)
+        u = res.us[0]
+        x_next = sim_dynamics(t, x, u)
+        us_next = shift(t + dt, res.us)
+        return (t + dt, x_next, us_next), (t, x, u, res.iters, res.status)
+
+    def sim(t0, x0, us0):
+        (_, _, _), (ts, xs, us, iters, status) = lax.scan(
+            step, (jnp.asarray(t0, x0.dtype), x0, us0), jnp.arange(n_steps))
+        return ClosedLoopLog(ts, xs, us, iters, status)
+
+    return jax.jit(sim)
+
+
+def make_closed_loop_batch(solver, n_steps: int, **kwargs):
+    """Batched closed-loop simulator over a leading axis of (x0, us0)."""
+    sim = make_closed_loop(solver, n_steps, **kwargs)
+    inner = sim.__wrapped__ if hasattr(sim, "__wrapped__") else sim
+    return jax.jit(jax.vmap(inner, in_axes=(None, 0, 0)))

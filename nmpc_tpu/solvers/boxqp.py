@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from nmpc_tpu.core.types import BoxQPConfig, BoxQPStatus
+from nmpc_tpu.kernels.linalg import cho_solve_small, cholesky_small
 
 
 class BoxQPResult(NamedTuple):
@@ -108,9 +109,7 @@ def boxqp_solve(H, g, lower, upper, x0, config: BoxQPConfig = BoxQPConfig()) -> 
 
         # Masked free-block system (see module docstring).
         H_masked = (fm[:, None] * H * fm[None, :]) + jnp.diag(cm)
-        chol = jnp.linalg.cholesky(H_masked)
-        chol_ok = jnp.all(jnp.isfinite(chol))
-        chol_safe = jnp.where(chol_ok, chol, eye)
+        chol_safe, chol_ok = cholesky_small(H_masked)
 
         grad_norm2 = jnp.sum(fm * grad * grad)
         small_grad = grad_norm2 < config.grad_thre**2
@@ -118,7 +117,7 @@ def boxqp_solve(H, g, lower, upper, x0, config: BoxQPConfig = BoxQPConfig()) -> 
         # Newton direction on the free subspace (BoxQP.h:256-279):
         # d_free = -H_ff^{-1} (g_f + H_fc x_c) - x_f, zero on clamped dims.
         rhs = fm * (g + H @ (cm * c.x))
-        d = fm * (-jax.scipy.linalg.cho_solve((chol_safe, True), rhs) - fm * c.x)
+        d = fm * (-cho_solve_small(chol_safe, rhs) - fm * c.x)
         sdg = d @ grad
         bad_dir = sdg > 1e-10  # "should not happen" guard (BoxQP.h:283-291)
 

@@ -47,6 +47,7 @@ from jax import lax
 
 from nmpc_tpu.core.problem import Problem
 from nmpc_tpu.core.types import DDPConfig, DDPResult, DDPStatus, DDPTrace
+from nmpc_tpu.kernels.linalg import cho_solve_small, cholesky_small
 from nmpc_tpu.solvers.boxqp import boxqp_solve
 
 
@@ -77,7 +78,13 @@ class DDPSolver:
         # raw (unjitted) single-solve function; reused by the distributed
         # layer to re-jit with explicit shardings (parallel/mesh.py).
         self.raw_solve = functools.partial(_solve, problem, config)
-        self.raw_solve_batch = jax.vmap(self.raw_solve, in_axes=(None, 0, 0))
+        # Batched solve: the batch-minor "stacked" backward kernel is the
+        # fast path (see kernels/ddp_backward.py); boxed-input and
+        # second-order configurations fall back to vmap-of-single.
+        if config.with_input_constraint or config.use_state_eq_second_derivative:
+            self.raw_solve_batch = jax.vmap(self.raw_solve, in_axes=(None, 0, 0))
+        else:
+            self.raw_solve_batch = functools.partial(_solve_stacked, problem, config)
         self._solve = jax.jit(self.raw_solve)
         self._solve_batch = jax.jit(self.raw_solve_batch)
 
@@ -214,13 +221,11 @@ def _backward(problem: Problem, config: DDPConfig, D: _StageDerivs, Vx_T, Vxx_T,
             # K rows: free rows solve H_free K_free = -Qux_reg_free using the
             # masked factorization; clamped rows are zero (DDPSolver.hpp:482-496).
             rhs = fm[:, None] * Qux_reg
-            K = -fm[:, None] * jax.scipy.linalg.cho_solve((qp.chol, True), rhs)
+            K = -fm[:, None] * cho_solve_small(qp.chol, rhs)
         else:
-            chol = jnp.linalg.cholesky(Quu_F)
-            ok_i = jnp.all(jnp.isfinite(chol))
-            chol_safe = jnp.where(ok_i, chol, eye_nu)
-            k = -jax.scipy.linalg.cho_solve((chol_safe, True), Qu)
-            K = -jax.scipy.linalg.cho_solve((chol_safe, True), Qux_reg)
+            L, ok_i = cholesky_small(Quu_F)
+            k = -cho_solve_small(L, Qu)
+            K = -cho_solve_small(L, Qux_reg)
 
         # Value-function update with the *unregularized* Q terms
         # (DDPSolver.hpp:522-526).
@@ -466,6 +471,347 @@ def _solve(problem: Problem, config: DDPConfig, t0, x0, us_init) -> DDPResult:
         status=out.status,
         success=out.status == DDPStatus.SUCCEEDED,
         iters=out.it,
+        xs=out.xs,
+        us=out.us,
+        costs=out.costs,
+        ks=out.ks,
+        Ks=out.Ks,
+        lam=out.lam,
+        dlam=out.dlam,
+        trace=out.trace,
+    )
+
+
+# --------------------------------------------------------------------------
+# natively-batched solve (batch-minor backward kernel)
+# --------------------------------------------------------------------------
+
+
+def _rollout_stacked(problem, config, t0, x0s, us):
+    """Initial rollout with lane-blocked batch: x0s [B, nx], us [B, N, nu]
+    -> (xs [B, N+1, nx], costs [B, N+1]).  User dynamics/cost are
+    double-vmapped over (S, 128) lane blocks (kernels/lanes.py)."""
+    from nmpc_tpu.kernels.lanes import (block_lanes, lane_factors,
+                                        unblock_lanes, vmap_lanes)
+
+    B = x0s.shape[0]
+    N = config.horizon_steps
+    dtype = x0s.dtype
+    S, L = lane_factors(B)
+    ts = t0 + problem.dt * jnp.arange(N, dtype=dtype)
+
+    x_l = block_lanes(x0s, 0, S, L)          # [nx, S, L]
+    us_l = block_lanes(us, 0, S, L)          # [N, nu, S, L]
+
+    dyn2 = vmap_lanes(problem.dynamics, 2)
+    cost2 = vmap_lanes(problem.running_cost, 2)
+    term2 = vmap_lanes(problem.terminal_cost, 1)
+
+    def step(x, tu):
+        t, u = tu
+        xn = dyn2(t, x, u)
+        c = cost2(t, x, u)
+        return xn, (xn, c)
+
+    xN, (xs_tail, cs) = lax.scan(step, x_l, (ts, us_l))
+    c_term = term2(t0 + N * problem.dt, xN)
+    xs_l = jnp.concatenate([x_l[None], xs_tail], axis=0)   # [N+1, nx, S, L]
+    costs_l = jnp.concatenate([cs, c_term[None]], axis=0)  # [N+1, S, L]
+    return unblock_lanes(xs_l, 0), unblock_lanes(costs_l, 0)
+
+
+def _forward_all_alphas_stacked(problem, config, t0, xs, us, ks, Ks):
+    """Line-search forward pass with (alpha x batch) lane-blocked.
+
+    xs [B, N+1, nx], us/ks [B, N, nu], Ks [B, N, nu, nx].
+    Returns cand_(xs, us, costs) with axes [B, A, ...] like
+    vmap(_forward_all_alphas)."""
+    from nmpc_tpu.kernels.lanes import (block_lanes, lane_factors,
+                                        unblock_lanes, vmap_lanes)
+
+    B = xs.shape[0]
+    N = config.horizon_steps
+    nx, nu = problem.state_dim, problem.input_dim
+    dtype = xs.dtype
+    alphas = jnp.asarray(config.alpha_list, dtype)
+    A = alphas.shape[0]
+    AB = A * B
+    S, L = lane_factors(AB)
+    ts = t0 + problem.dt * jnp.arange(N, dtype=dtype)
+
+    def expand(a):  # [B, N?, d...] -> [N?, d..., S, L] broadcast over alphas
+        a = jnp.broadcast_to(a[None], (A,) + a.shape)
+        a = a.reshape((AB,) + a.shape[2:])
+        return block_lanes(a, 0, S, L)
+
+    xref = expand(xs[:, :-1])       # [N, nx, S, L]
+    uref = expand(us)               # [N, nu, S, L]
+    k_l = expand(ks)                # [N, nu, S, L]
+    K_l = expand(Ks)                # [N, nu, nx, S, L]
+    x0_l = expand(xs[:, 0])         # [nx, S, L]
+    alpha_l = block_lanes(
+        jnp.repeat(alphas, B), 0, S, L)          # [S, L]
+
+    dyn2 = vmap_lanes(problem.dynamics, 2)
+    cost2 = vmap_lanes(problem.running_cost, 2)
+    term2 = vmap_lanes(problem.terminal_cost, 1)
+
+    def step(x, inp):
+        t, xr, ur, k, K = inp
+        dx = x - xr
+        u = ur + alpha_l[None] * k + jnp.sum(K * dx[None, :], axis=1)
+        xn = dyn2(t, x, u)
+        c = cost2(t, x, u)
+        return xn, (xn, u, c)
+
+    xN, (xs_tail, us_new, cs) = lax.scan(step, x0_l, (ts, xref, uref, k_l, K_l))
+    c_term = term2(t0 + N * problem.dt, xN)
+    xs_all = jnp.concatenate([x0_l[None], xs_tail], axis=0)
+    costs_all = jnp.concatenate([cs, c_term[None]], axis=0)
+
+    def collapse(a_l, lead):  # [N?, d..., S, L] -> [B, A, N?, d...]
+        a = unblock_lanes(a_l, 0)                  # [AB, N?, d...]
+        a = a.reshape((A, B) + a.shape[1:])
+        return jnp.swapaxes(a, 0, 1)
+
+    return (collapse(xs_all, 2), collapse(us_new, 2), collapse(costs_all, 1))
+
+
+def _bwhere(mask, new, old):
+    """where with a [B] lane mask broadcast against [B, ...] arrays."""
+    return jnp.where(mask.reshape(mask.shape + (1,) * (new.ndim - 1)), new, old)
+
+
+def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
+                            running):
+    """Per-lane lambda-retry loop around the stacked backward kernel.
+
+    Semantics per lane match ``_backward_with_retry`` under vmap
+    (``DDPSolver.hpp:191-209``): a lane whose backward fails bumps its own
+    lambda and retries; converged/non-running lanes are frozen.
+    All stacked quantities carry batch on the LAST axis.
+    """
+    from nmpc_tpu.kernels.ddp_backward import backward_stacked
+
+    B = lam.shape[0]
+    dtype = lam.dtype
+
+    ks, Ks, dV, ok = backward_stacked(config, Dst, VxT_s, VxxT_s, lam)
+    ok_all = ok | ~running
+    ks = jnp.where(ok[None, None, :], ks, ks0_s)
+    Ks = jnp.where(ok[None, None, None, :], Ks, Ks0_s)
+
+    def cond(c):
+        lam_, dlam_, ks_, Ks_, dV_, ok_, failed_, n_ = c
+        return jnp.any(~ok_ & ~failed_) & (n_ < config.max_backward_retries)
+
+    def body(c):
+        lam_, dlam_, ks_, Ks_, dV_, ok_, failed_, n_ = c
+        retry = ~ok_ & ~failed_
+        dlam_n = jnp.maximum(dlam_ * config.lambda_factor, config.lambda_factor)
+        lam_n = jnp.maximum(lam_ * dlam_n, config.lambda_min)
+        dlam_ = jnp.where(retry, dlam_n, dlam_)
+        lam_ = jnp.where(retry, lam_n, lam_)
+        failed_ = failed_ | (retry & (lam_ > config.lambda_max))
+        ks2, Ks2, dV2, ok2 = backward_stacked(config, Dst, VxT_s, VxxT_s, lam_)
+        take = retry & ~failed_ & ok2
+        ks_ = jnp.where(take[None, None, :], ks2, ks_)
+        Ks_ = jnp.where(take[None, None, None, :], Ks2, Ks_)
+        dV_ = jnp.where(take[None, :], dV2, dV_)
+        return (lam_, dlam_, ks_, Ks_, dV_, ok_ | take, failed_, n_ + 1)
+
+    lam, dlam, ks, Ks, dV, ok_all, failed, _ = lax.while_loop(
+        cond, body,
+        (lam, dlam, ks, Ks, dV, ok_all, jnp.zeros((B,), bool), jnp.int32(0)))
+    return lam, dlam, ks, Ks, dV, failed
+
+
+class _StackedState(NamedTuple):
+    it: jnp.ndarray
+    iters: jnp.ndarray    # [B] per-lane iteration count
+    status: jnp.ndarray   # [B]
+    xs: jnp.ndarray       # [B, N+1, nx]
+    us: jnp.ndarray       # [B, N, nu]
+    costs: jnp.ndarray    # [B, N+1]
+    ks: jnp.ndarray       # [B, N, nu]
+    Ks: jnp.ndarray       # [B, N, nu, nx]
+    lam: jnp.ndarray      # [B]
+    dlam: jnp.ndarray     # [B]
+    trace: DDPTrace       # arrays [B, max_iter+1]
+
+
+def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDPResult:
+    """Natively-batched DDP solve: public layout batch-first, backward pass
+    batch-minor (kernels/ddp_backward.py).  Per-lane control flow reproduces
+    ``_solve``-under-vmap exactly (tested)."""
+    from nmpc_tpu.kernels.ddp_backward import stack_derivs
+
+    assert not config.with_input_constraint
+    assert not config.use_state_eq_second_derivative
+    dtype = x0s.dtype
+    t0 = jnp.asarray(t0, dtype)
+    B = x0s.shape[0]
+    N = config.horizon_steps
+    nx, nu = problem.state_dim, problem.input_dim
+    n_trace = config.max_iter + 1
+    alphas = jnp.asarray(config.alpha_list, dtype)
+    A = len(config.alpha_list)
+
+    v_derivs = jax.vmap(functools.partial(_derivative_sweep, problem, config),
+                        in_axes=(None, 0, 0))
+    v_forward = functools.partial(_forward_all_alphas_stacked, problem, config)
+
+    xs, costs = _rollout_stacked(problem, config, t0, x0s, us_init)
+
+    def zeros(shape=()):
+        return jnp.zeros(shape, dtype)
+
+    trace = DDPTrace(
+        iter=jnp.broadcast_to(jnp.arange(n_trace, dtype=jnp.int32),
+                              (B, n_trace)),
+        cost=zeros((B, n_trace)).at[:, 0].set(jnp.sum(costs, axis=-1)),
+        lam=zeros((B, n_trace)).at[:, 0].set(config.initial_lambda),
+        dlam=zeros((B, n_trace)).at[:, 0].set(config.initial_dlambda),
+        alpha=zeros((B, n_trace)),
+        k_rel_norm=zeros((B, n_trace)),
+        cost_update_actual=zeros((B, n_trace)),
+        cost_update_expected=zeros((B, n_trace)),
+        cost_update_ratio=zeros((B, n_trace)),
+    )
+
+    state = _StackedState(
+        it=jnp.int32(0),
+        iters=jnp.zeros((B,), jnp.int32),
+        status=jnp.full((B,), DDPStatus.RUNNING, jnp.int32),
+        xs=xs, us=us_init, costs=costs,
+        ks=zeros((B, N, nu)), Ks=zeros((B, N, nu, nx)),
+        lam=jnp.full((B,), config.initial_lambda, dtype),
+        dlam=jnp.full((B,), config.initial_dlambda, dtype),
+        trace=trace,
+    )
+
+    def cond(s: _StackedState):
+        return jnp.any(s.status == DDPStatus.RUNNING)
+
+    def body(s: _StackedState):
+        it = s.it + 1
+        running = s.status == DDPStatus.RUNNING
+
+        # Step 1: derivative sweep (vmapped autodiff).
+        D, VxT, VxxT = v_derivs(t0, s.xs, s.us)
+        Dst = stack_derivs(D.Fx, D.Fu, D.Lx, D.Lu, D.Lxx, D.Luu, D.Lxu)
+        VxT_s = jnp.moveaxis(VxT, 0, -1)
+        VxxT_s = jnp.moveaxis(VxxT, 0, -1)
+        ks0_s = jnp.moveaxis(s.ks, 0, -1)
+        Ks0_s = jnp.moveaxis(s.Ks, 0, -1)
+
+        # Step 2: backward with per-lane lambda retry.
+        lam, dlam, ks_s, Ks_s, dV_s, bw_failed = _backward_retry_stacked(
+            config, Dst, VxT_s, VxxT_s, s.lam, s.dlam, ks0_s, Ks0_s, running)
+        ks = jnp.moveaxis(ks_s, -1, 0)       # [B, N, nu]
+        Ks = jnp.moveaxis(Ks_s, -1, 0)       # [B, N, nu, nx]
+        dV = jnp.moveaxis(dV_s, -1, 0)       # [B, 2]
+
+        status = jnp.where(bw_failed & running,
+                           jnp.int32(DDPStatus.FAIL_BACKWARD_LAMBDA),
+                           s.status)
+
+        # small-gradient termination
+        k_rel_norm = jnp.max(
+            jnp.linalg.norm(ks, axis=-1)
+            / (jnp.linalg.norm(s.us, axis=-1) + 1.0), axis=-1)    # [B]
+        term_grad = (running & ~bw_failed
+                     & (k_rel_norm < config.k_rel_norm_thre)
+                     & (lam < config.lambda_thre))
+        status = jnp.where(term_grad, jnp.int32(DDPStatus.SUCCEEDED), status)
+
+        # Step 3: forward, all alphas (cand_* have axes [B, A, ...]).
+        cand_xs, cand_us, cand_costs = v_forward(t0, s.xs, s.us, ks, Ks)
+        cost_old = jnp.sum(s.costs, axis=-1)                       # [B]
+        cand_sums = jnp.sum(cand_costs, axis=-1)                   # [B, A]
+        actual = cost_old[:, None] - cand_sums                     # [B, A]
+        expected = -alphas[None, :] * (dV[:, 0:1] + alphas[None, :] * dV[:, 1:2])
+        ratio = jnp.where(expected < 0,
+                          jnp.where(actual >= 0, 1.0, -1.0),
+                          actual / expected)
+        accept_mask = ratio > config.cost_update_ratio_thre        # [B, A]
+        fw_success = jnp.any(accept_mask, axis=-1)                 # [B]
+        first_idx = jnp.argmax(accept_mask, axis=-1)
+        idx = jnp.where(fw_success, first_idx, A - 1)              # [B]
+
+        do_forward = running & ~bw_failed & ~term_grad
+        accept = do_forward & fw_success
+
+        def take(c):  # [B, A, ...] -> [B, ...] at per-lane idx
+            ix = idx.reshape((B,) + (1,) * (c.ndim - 1))
+            return jnp.take_along_axis(c, ix, axis=1)[:, 0]
+
+        sel_xs, sel_us, sel_costs = take(cand_xs), take(cand_us), take(cand_costs)
+        xs = _bwhere(accept, sel_xs, s.xs)
+        us = _bwhere(accept, sel_us, s.us)
+        costs = _bwhere(accept, sel_costs, s.costs)
+
+        actual_sel = jnp.take_along_axis(actual, idx[:, None], axis=1)[:, 0]
+        expected_sel = jnp.take_along_axis(expected, idx[:, None], axis=1)[:, 0]
+        ratio_sel = jnp.take_along_axis(ratio, idx[:, None], axis=1)[:, 0]
+
+        term_cost = accept & (actual_sel < config.cost_update_thre)
+        status = jnp.where(term_cost, jnp.int32(DDPStatus.SUCCEEDED), status)
+
+        dlam_acc = jnp.minimum(dlam / config.lambda_factor,
+                               1.0 / config.lambda_factor)
+        lam_acc = jnp.where(lam >= config.lambda_min, lam * dlam_acc, 0.0)
+        dlam_rej = jnp.maximum(dlam * config.lambda_factor, config.lambda_factor)
+        lam_rej = jnp.maximum(lam * dlam_rej, config.lambda_min)
+        reject = do_forward & ~fw_success
+        lam = jnp.where(accept, lam_acc, jnp.where(reject, lam_rej, lam))
+        dlam = jnp.where(accept, dlam_acc, jnp.where(reject, dlam_rej, dlam))
+        status = jnp.where(reject & (lam > config.lambda_max),
+                           jnp.int32(DDPStatus.FAIL_FORWARD_LAMBDA), status)
+
+        # gains kept from the last successful backward
+        ks = _bwhere(running & ~bw_failed, ks, s.ks)
+        Ks = _bwhere(running & ~bw_failed, Ks, s.Ks)
+
+        # trace row `it` for running lanes
+        tr = s.trace
+        reached_fwd = do_forward
+
+        def trow(col, val, mask):
+            return col.at[:, it].set(jnp.where(mask, val, col[:, it]))
+
+        tr = DDPTrace(
+            iter=tr.iter,
+            cost=trow(tr.cost, jnp.sum(costs, axis=-1), reached_fwd),
+            lam=trow(tr.lam, lam, reached_fwd),
+            dlam=trow(tr.dlam, dlam, reached_fwd),
+            alpha=trow(tr.alpha, alphas[idx], reached_fwd),
+            k_rel_norm=trow(tr.k_rel_norm, k_rel_norm, running & ~bw_failed),
+            cost_update_actual=trow(tr.cost_update_actual, actual_sel, reached_fwd),
+            cost_update_expected=trow(tr.cost_update_expected, expected_sel, reached_fwd),
+            cost_update_ratio=trow(tr.cost_update_ratio, ratio_sel, reached_fwd),
+        )
+
+        status = jnp.where((status == DDPStatus.RUNNING) & (it >= config.max_iter),
+                           jnp.int32(DDPStatus.MAX_ITER_REACHED), status)
+
+        # freeze non-running lanes wholesale
+        new = _StackedState(it=it, iters=jnp.where(running, s.iters + 1, s.iters),
+                            status=status, xs=xs, us=us, costs=costs,
+                            ks=ks, Ks=Ks, lam=lam, dlam=dlam, trace=tr)
+        frozen = jax.tree_util.tree_map(
+            lambda n_, o_: (_bwhere(running, n_, o_)
+                            if getattr(n_, "ndim", 0) > 0 and n_.shape[:1] == (B,)
+                            else n_),
+            new, s)
+        return frozen
+
+    out = lax.while_loop(cond, body, state)
+
+    return DDPResult(
+        status=out.status,
+        success=out.status == DDPStatus.SUCCEEDED,
+        iters=out.iters,
         xs=out.xs,
         us=out.us,
         costs=out.costs,

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from nmpc_tpu.core.problem import Problem
+from nmpc_tpu.kernels.linalg import cho_solve_small, cholesky_small, lu_solve_small
 from nmpc_tpu.core.types import (
     FmpcConfig,
     FmpcResult,
@@ -196,18 +197,16 @@ def _backward(problem: Problem, config: FmpcConfig, co: _Coeffs,
         G = Quu_t + B.T @ P @ B                              # (2.35d)
 
         rhs_k = B.T @ (P @ x_bar - s_vec) + Lu_t
-        chol = jnp.linalg.cholesky(G)
-        pd = jnp.all(jnp.isfinite(chol))
-        chol_safe = jnp.where(pd, chol, eye_nu)
-        k_chol = -jax.scipy.linalg.cho_solve((chol_safe, True), rhs_k)
-        K_chol = -jax.scipy.linalg.cho_solve((chol_safe, True), H.T)
+        chol_safe, pd = cholesky_small(G)
+        k_chol = -cho_solve_small(chol_safe, rhs_k)
+        K_chol = -cho_solve_small(chol_safe, H.T)
         if config.break_if_llt_fails:
             k, K = k_chol, K_chol
             ok = ok & pd
         else:
             # LU fallback on non-PD G (FmpcSolver.hpp:608-617)
-            k_lu = -jnp.linalg.solve(G, rhs_k)
-            K_lu = -jnp.linalg.solve(G, H.T)
+            k_lu = -lu_solve_small(G, rhs_k)
+            K_lu = -lu_solve_small(G, H.T)
             k = jnp.where(pd, k_chol, k_lu)
             K = jnp.where(pd, K_chol, K_lu)
 
