@@ -1,0 +1,220 @@
+"""Full benchmark suite over the BASELINE.json configurations.
+
+Covers the five reference-derived configs plus the p99-latency check
+against the reference's real-time budget (4 ms MPC tick,
+``TestDDPCartPole.cpp:302``).  Prints one JSON line per benchmark.
+``bench.py`` at the repo root remains the single-line headline metric.
+
+Run on the TPU:  python benchmarks/bench_all.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def _timeit(fn, n=5):
+    fn()  # warm
+    fn()
+    start = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / n
+
+
+def bench_ddp_cartpole():
+    """Config #1: DDP cart-pole swing-up, horizon 100, batched."""
+    from nmpc_tpu import DDPConfig, DDPSolver
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+
+    solver = DDPSolver(make_cartpole_problem(0.01),
+                       DDPConfig(horizon_steps=100, max_iter=10))
+    B = 4096
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 4))).astype(np.float32))
+    us0 = jnp.zeros((B, 100, 1), jnp.float32)
+    dt = _timeit(lambda: solver.solve_batch(jnp.float32(0.0), x0s, us0))
+    return {"metric": "ddp_cartpole_solves_per_s", "value": round(B / dt, 1),
+            "unit": "solves/s", "vs_baseline": round(B / dt / 10_000.0, 3)}
+
+
+def bench_ddp_bipedal():
+    """Config #2: bipedal CoM-ZMP with time-varying reference, horizon 300."""
+    from nmpc_tpu import DDPConfig, DDPSolver
+    from nmpc_tpu.models.bipedal import (example_omega2_func,
+                                         example_ref_zmp_func,
+                                         make_bipedal_problem)
+
+    problem = make_bipedal_problem(0.01, example_ref_zmp_func(20.0),
+                                   example_omega2_func())
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=300, max_iter=10))
+    B = 2048
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((0.05 * rng.normal(size=(B, 2))).astype(np.float32))
+    us0 = jnp.zeros((B, 300, 1), jnp.float32)
+    dt = _timeit(lambda: solver.solve_batch(jnp.float32(0.0), x0s, us0))
+    return {"metric": "ddp_bipedal_solves_per_s", "value": round(B / dt, 1),
+            "unit": "solves/s", "vs_baseline": None}
+
+
+def bench_boxed_ddp_vertical():
+    """Config #3: boxed DDP with control limits + time-varying input dims."""
+    from nmpc_tpu import DDPConfig, DDPSolver
+    from nmpc_tpu.models.vertical import make_vertical_problem
+
+    problem = make_vertical_problem(0.01)
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=100, max_iter=3,
+                                          initial_lambda=1e-6,
+                                          with_input_constraint=True))
+    B = 256
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([1.2, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 2))).astype(np.float32))
+    us0 = jnp.zeros((B, 100, 2), jnp.float32)
+    dt = _timeit(lambda: solver.solve_batch(jnp.float32(0.0), x0s, us0))
+    return {"metric": "boxed_ddp_vertical_solves_per_s",
+            "value": round(B / dt, 1), "unit": "solves/s",
+            "vs_baseline": None}
+
+
+def bench_fmpc_oscillator():
+    """Config #4: FMPC (DMS + PDIP + Riccati) with state/input constraints."""
+    import jax as _jax
+    from nmpc_tpu import FmpcConfig, FmpcSolver, fmpc_variable_reset
+    from nmpc_tpu.models.oscillator import make_oscillator_problem
+
+    solver = FmpcSolver(make_oscillator_problem(0.01),
+                        FmpcConfig(horizon_steps=100, max_iter=5))
+    B = 1024
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([0.0, 1.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 2))).astype(np.float32))
+    var1 = fmpc_variable_reset(100, 2, 1, 3, dtype=jnp.float32)
+    vars_b = _jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), var1)
+    epss = jnp.full((B,), 1e-4, jnp.float32)
+    dt = _timeit(lambda: solver.solve_batch(jnp.float32(0.0), x0s, vars_b, epss))
+    return {"metric": "fmpc_oscillator_solves_per_s",
+            "value": round(B / dt, 1), "unit": "solves/s",
+            "vs_baseline": None}
+
+
+def bench_cgmres_damper():
+    """Config #5: C/GMRES continuation, semiactive damper, batched
+    controllers (vmap over initial conditions)."""
+    import jax as _jax
+    from nmpc_tpu import CgmresConfig, CgmresSolver
+    from nmpc_tpu.models.damper import make_damper_problem
+    from nmpc_tpu.solvers.cgmres import _control_step
+
+    import functools
+    problem = make_damper_problem()
+    config = CgmresConfig()
+    solver = CgmresSolver(problem, config)
+    state = solver.setup()
+    B = 512
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray((np.tile([2.0, 0.0], (B, 1))
+                      + 0.1 * rng.normal(size=(B, 2))).astype(np.float32))
+    states = _jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a.astype(jnp.float32), (B,) + a.shape),
+        state)
+    step = _jax.jit(_jax.vmap(functools.partial(_control_step, problem, config),
+                              in_axes=(None, 0, 0, 0)))
+    next_xs = xs  # one-step continuation benchmark
+    dt = _timeit(lambda: step(jnp.float32(0.1), xs, next_xs, states))
+    return {"metric": "cgmres_damper_control_steps_per_s",
+            "value": round(B / dt, 1), "unit": "steps/s",
+            "vs_baseline": round((B / dt) / 1000.0, 3)}  # ref budget: 1 kHz
+
+
+def bench_p99_latency():
+    """p99 closed-loop MPC-step latency vs the 4 ms cart-pole budget:
+    warm-started solves (max_iter 3, the reference's MPC configuration)."""
+    from nmpc_tpu import DDPConfig, DDPSolver
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+
+    problem = make_cartpole_problem(0.01)
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=200, max_iter=3))
+    x = jnp.asarray(np.array([0.0, np.pi, 0.0, 0.0], np.float32))
+    us = jnp.zeros((200, 1), jnp.float32)
+    # warm
+    res = solver.solve(jnp.float32(0.0), x, us)
+    jax.block_until_ready(res)
+    lat = []
+    t = 0.0
+    for i in range(100):
+        start = time.perf_counter()
+        res = solver.solve(jnp.float32(t), x, us)
+        jax.block_until_ready(res)
+        lat.append(time.perf_counter() - start)
+        x = problem.dynamics(t, x, res.us[0])
+        us = jnp.concatenate([res.us[1:], res.us[-1:]])
+        t += 0.01
+    p99 = float(np.percentile(np.asarray(lat) * 1e3, 99))
+    return {"metric": "ddp_cartpole_p99_solve_latency",
+            "value": round(p99, 2), "unit": "ms",
+            "vs_baseline": round(4.0 / p99, 3)}  # budget 4 ms / achieved
+
+
+def bench_parallel_riccati():
+    """Long-horizon parallel-in-time Riccati vs sequential scan (N=2048)."""
+    from nmpc_tpu.solvers.parallel_riccati import (LQRStage,
+                                                   solve_lqr_parallel,
+                                                   solve_lqr_sequential)
+
+    N, nx, nu = 2048, 8, 2
+    rng = np.random.default_rng(0)
+    A = jnp.asarray((0.3 * rng.normal(size=(N, nx, nx))
+                     + np.eye(nx)).astype(np.float32))
+    B_ = jnp.asarray(0.3 * rng.normal(size=(N, nx, nu)).astype(np.float32))
+    W = 0.3 * rng.normal(size=(N, nx, nx))
+    Qxx = jnp.asarray((W @ W.transpose(0, 2, 1)
+                       + 0.5 * np.eye(nx)).astype(np.float32))
+    Quu = jnp.asarray(np.tile(np.eye(nu, dtype=np.float32), (N, 1, 1)))
+    stage = LQRStage(A, B_, jnp.zeros((N, nx), jnp.float32), Qxx, Quu,
+                     jnp.zeros((N, nu, nx), jnp.float32),
+                     jnp.zeros((N, nx), jnp.float32),
+                     jnp.zeros((N, nu), jnp.float32))
+    S_T = jnp.eye(nx, dtype=jnp.float32)
+    f_par = jax.jit(lambda: solve_lqr_parallel(stage, S_T)[0])
+    f_seq = jax.jit(lambda: solve_lqr_sequential(stage, S_T)[0])
+    dt_par = _timeit(f_par)
+    dt_seq = _timeit(f_seq)
+    return {"metric": "parallel_riccati_speedup_N2048",
+            "value": round(dt_seq / dt_par, 2), "unit": "x vs sequential",
+            "vs_baseline": None,
+            "detail": {"parallel_ms": round(dt_par * 1e3, 2),
+                       "sequential_ms": round(dt_seq * 1e3, 2)}}
+
+
+ALL = [bench_ddp_cartpole, bench_ddp_bipedal, bench_boxed_ddp_vertical,
+       bench_fmpc_oscillator, bench_cgmres_damper, bench_p99_latency,
+       bench_parallel_riccati]
+
+
+def main():
+    names = sys.argv[1:]
+    for fn in ALL:
+        if names and fn.__name__ not in names:
+            continue
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # keep the suite running
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,11 @@ class DDPConfig:
                                -2.1, -2.4, -2.7, -3.0])
     cost_update_ratio_thre: float = 0.0
     cost_update_thre: float = 1e-7
+    # Backward-pass kernel for the batched (stacked) solve path:
+    # "stacked" = batch-minor XLA kernel (kernels/ddp_backward.py);
+    # "pallas"  = fused Pallas TPU kernel with double-buffered stage DMA
+    #             (kernels/ddp_backward_pallas.py; requires B % 128 == 0).
+    backward_impl: str = "stacked"
     # Max backward-pass lambda-retry attempts per iteration. The reference
     # retries unboundedly until lambda > lambda_max (DDPSolver.hpp:191-209);
     # from lambda_min to lambda_max with factor 1.6 that is at most

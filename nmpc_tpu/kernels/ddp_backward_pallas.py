@@ -1,0 +1,314 @@
+"""Pallas TPU kernel: fully-fused DDP backward pass.
+
+One kernel program runs the ENTIRE backward Riccati recursion
+(``DDPSolver.hpp:343-534``) for a block of SUB*128 batch lanes: the
+value-function carry (Vx, Vxx) lives in registers/VMEM across all N stages,
+every small-matrix contraction is unrolled to elementwise VPU ops on
+(SUB, 128) tiles, and nothing round-trips HBM between stages — the XLA
+stacked version (kernels/ddp_backward.py) still materializes each scan
+step's outputs.
+
+Layout contract (matches the stacked solver's batch-minor layout):
+  inputs  Fx [N, nx, nx, B4, 128], ..., lam [B4, 128]
+  outputs ks [N, nu, B4, 128], Ks [N, nu, nx, B4, 128], dV [2, B4, 128],
+          ok [B4, 128] (float 0/1)
+with B = B4 * 128 and the grid tiling B4 into SUB-row blocks.
+
+Numerical semantics are identical to ``backward_stacked`` (same unrolled
+Cholesky with the Eigen-LLT pivot>0 failure rule); parity is tested.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nmpc_tpu.core.types import DDPConfig
+
+
+def _mm_t(A, B, n, m, k):
+    """Unrolled matmul of tile-matrices: A, B are [n][m] / [m][k] nested
+    lists of (SUB, 128) tiles -> [n][k] list."""
+    return [[sum(A[i][l] * B[l][j] for l in range(m)) for j in range(k)]
+            for i in range(n)]
+
+
+def _mv_t(A, v, n, m):
+    return [sum(A[i][l] * v[l] for l in range(m)) for i in range(n)]
+
+
+def _transpose_t(A, n, m):
+    return [[A[i][j] for i in range(n)] for j in range(m)]
+
+
+def _chol_t(A, n):
+    """Unrolled Cholesky on tile-matrices; returns (L, ok_tile as f32 0/1 —
+    bool vectors can't live in Mosaic loop carries)."""
+    ok = None
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j][j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        good = jnp.where((d > 0) & jnp.isfinite(d), 1.0, 0.0).astype(d.dtype)
+        ok = good if ok is None else (ok * good)
+        Ljj = jnp.sqrt(jnp.where(d > 0, d, 1.0))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, n):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    return L, ok
+
+
+def _chol_solve_t(L, B, n, m):
+    """Solve (L L^T) X = B; B is [n][m] tile-matrix."""
+    y = [[None] * m for _ in range(n)]
+    for i in range(n):
+        for c in range(m):
+            s = B[i][c]
+            for k in range(i):
+                s = s - L[i][k] * y[k][c]
+            y[i][c] = s / L[i][i]
+    x = [[None] * m for _ in range(n)]
+    for i in reversed(range(n)):
+        for c in range(m):
+            s = y[i][c]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * x[k][c]
+            x[i][c] = s / L[i][i]
+    return x
+
+
+def _make_kernel(config: DDPConfig, nx: int, nu: int, N: int, SUB: int):
+    """Kernel with manual double-buffered DMA of per-stage derivative slices
+    from HBM: whole-horizon VMEM blocks don't fit (Pallas double-buffers
+    grid blocks, ~2x the data), so stage data streams in two slots while the
+    value-function carry stays resident."""
+    reg1 = config.reg_type == 1
+    reg2 = config.reg_type == 2
+    N_IN = 7  # streamed stage inputs
+
+    def kernel(Fx_hbm, Fu_hbm, Lx_hbm, Lu_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm,
+               VxT_ref, VxxT_ref, lam_ref,
+               ks_ref, Ks_ref, dV_ref, ok_ref,
+               Fx_s, Fu_s, Lx_s, Lu_s, Lxx_s, Luu_s, Lxu_s, sems):
+        g = pl.program_id(0)
+        b0 = g * SUB
+        lam = lam_ref[:, :]
+
+        hbm = [Fx_hbm, Fu_hbm, Lx_hbm, Lu_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm]
+        scr = [Fx_s, Fu_s, Lx_s, Lu_s, Lxx_s, Luu_s, Lxu_s]
+
+        def stage_dmas(slot, i):
+            out = []
+            for w, (h, s) in enumerate(zip(hbm, scr)):
+                nd = h.ndim
+                if nd == 5:
+                    src = h.at[i, :, :, pl.ds(b0, SUB), :]
+                else:
+                    src = h.at[i, :, pl.ds(b0, SUB), :]
+                out.append(pltpu.make_async_copy(src, s.at[slot],
+                                                 sems.at[w, slot]))
+            return out
+
+        # warm-up: stage N-1 into slot 0
+        for d in stage_dmas(0, N - 1):
+            d.start()
+
+        def load_mat(ref, slot, n, m):
+            return [[ref[slot, a, b] for b in range(m)] for a in range(n)]
+
+        def load_vec(ref, slot, n):
+            return [ref[slot, a] for a in range(n)]
+
+        Vx = [VxT_ref[a] for a in range(nx)]
+        Vxx = [[VxxT_ref[a, b] for b in range(nx)] for a in range(nx)]
+
+        zeros = jnp.zeros_like(lam)
+        dV0 = zeros
+        dV1 = zeros
+        ok = jnp.ones_like(lam)  # f32 0/1 mask (bool carries won't legalize)
+
+        carry0 = (Vx, Vxx, dV0, dV1, ok)
+
+        def body(j, carry):
+            Vx, Vxx, dV0, dV1, ok = carry
+            i = N - 1 - j
+            slot = lax.rem(j, 2)
+            next_slot = lax.rem(j + 1, 2)
+
+            # prefetch stage i-1 while waiting on stage i
+            @pl.when(j + 1 < N)
+            def _():
+                for d in stage_dmas(next_slot, i - 1):
+                    d.start()
+
+            for d in stage_dmas(slot, i):
+                d.wait()
+
+            Fx = load_mat(Fx_s, slot, nx, nx)
+            Fu = load_mat(Fu_s, slot, nx, nu)
+            Lx = load_vec(Lx_s, slot, nx)
+            Lu = load_vec(Lu_s, slot, nu)
+            Lxx = load_mat(Lxx_s, slot, nx, nx)
+            Luu = load_mat(Luu_s, slot, nu, nu)
+            Lxu = load_mat(Lxu_s, slot, nx, nu)
+
+            FuT = _transpose_t(Fu, nx, nu)
+            FxT = _transpose_t(Fx, nx, nx)
+            Qu = [Lu[a] + s for a, s in enumerate(_mv_t(FuT, Vx, nu, nx))]
+            Qx = [Lx[a] + s for a, s in enumerate(_mv_t(FxT, Vx, nx, nx))]
+            FuT_Vxx = _mm_t(FuT, Vxx, nu, nx, nx)
+            LxuT = _transpose_t(Lxu, nx, nu)
+            M = _mm_t(FuT_Vxx, Fx, nu, nx, nx)
+            Qux = [[LxuT[a][b] + M[a][b] for b in range(nx)] for a in range(nu)]
+            M = _mm_t(FuT_Vxx, Fu, nu, nx, nu)
+            Quu = [[Luu[a][b] + M[a][b] for b in range(nu)] for a in range(nu)]
+            FxT_Vxx = _mm_t(FxT, Vxx, nx, nx, nx)
+            M = _mm_t(FxT_Vxx, Fx, nx, nx, nx)
+            Qxx = [[Lxx[a][b] + M[a][b] for b in range(nx)] for a in range(nx)]
+
+            if reg2:
+                Vxx_reg = [[Vxx[a][b] + (lam if a == b else zeros)
+                            for b in range(nx)] for a in range(nx)]
+                FuT_Vr = _mm_t(FuT, Vxx_reg, nu, nx, nx)
+                M = _mm_t(FuT_Vr, Fx, nu, nx, nx)
+                Qux_reg = [[LxuT[a][b] + M[a][b] for b in range(nx)]
+                           for a in range(nu)]
+                M = _mm_t(FuT_Vr, Fu, nu, nx, nu)
+                Quu_F = [[Luu[a][b] + M[a][b] for b in range(nu)]
+                         for a in range(nu)]
+            else:
+                Qux_reg = Qux
+                Quu_F = [row[:] for row in Quu]
+            if reg1:
+                Quu_F = [[Quu_F[a][b] + (lam if a == b else zeros)
+                          for b in range(nu)] for a in range(nu)]
+
+            L, ok_i = _chol_t(Quu_F, nu)
+            kvec = [-v[0] for v in _chol_solve_t(L, [[q] for q in Qu], nu, 1)]
+            Ksol = _chol_solve_t(L, Qux_reg, nu, nx)
+            K = [[-Ksol[a][b] for b in range(nx)] for a in range(nu)]
+
+            Quu_k = _mv_t(Quu, kvec, nu, nu)
+            KT = _transpose_t(K, nu, nx)
+            QuxT = _transpose_t(Qux, nu, nx)
+            dV0 = dV0 + sum(kvec[a] * Qu[a] for a in range(nu))
+            dV1 = dV1 + 0.5 * sum(kvec[a] * Quu_k[a] for a in range(nu))
+
+            t1 = _mv_t(KT, Quu_k, nx, nu)
+            t2 = _mv_t(KT, Qu, nx, nu)
+            t3 = _mv_t(QuxT, kvec, nx, nu)
+            Vx_new = [Qx[a] + t1[a] + t2[a] + t3[a] for a in range(nx)]
+
+            KTQuu = _mm_t(KT, Quu, nx, nu, nu)
+            T1 = _mm_t(KTQuu, K, nx, nu, nx)
+            T2 = _mm_t(KT, Qux, nx, nu, nx)
+            Vxx_new = [[Qxx[a][b] + T1[a][b] + T2[a][b] + T2[b][a]
+                        for b in range(nx)] for a in range(nx)]
+            Vxx_sym = [[0.5 * (Vxx_new[a][b] + Vxx_new[b][a])
+                        for b in range(nx)] for a in range(nx)]
+
+            for a in range(nu):
+                ks_ref[i, a] = kvec[a]
+                for b in range(nx):
+                    Ks_ref[i, a, b] = K[a][b]
+
+            return (Vx_new, Vxx_sym, dV0, dV1, ok * ok_i)
+
+        Vx, Vxx, dV0, dV1, ok = lax.fori_loop(0, N, body, carry0)
+        dV_ref[0] = dV0
+        dV_ref[1] = dV1
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _backward_pallas_call(config: DDPConfig, nx, nu, N,
+                          Fx, Fu, Lx, Lu, Lxx, Luu, Lxu, VxT, VxxT, lam):
+    """Inputs in batch-minor layout with B reshaped to (B4, 128)."""
+    B4 = lam.shape[0]
+    dtype = Fx.dtype
+    # VMEM per program: outputs (double-buffered by the pipeline) + 2 stage
+    # slots + carry. Choose SUB so that ~2x outputs + slots stay well under
+    # the 16 MB budget.
+    out_floats = N * (nu + nu * nx)                       # ks + Ks per lane
+    slot_floats = 2 * (2 * nx * nx + 2 * nx * nu + nx + nu + nu * nu)
+    budget = 11 * 1024 * 1024
+    SUB = B4
+    while SUB > 1 and SUB * 128 * 4 * (2 * out_floats + slot_floats) > budget:
+        SUB //= 2
+    while B4 % SUB != 0:
+        SUB //= 2
+    grid = (B4 // SUB,)
+
+    def vspec(*dims):
+        block = tuple(dims) + (SUB, 128)
+        nlead = len(dims)
+        return pl.BlockSpec(block,
+                            lambda i, nlead=nlead: (0,) * nlead + (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def hbm_spec():
+        return pl.BlockSpec(memory_space=pltpu.ANY)
+
+    kernel = _make_kernel(config, nx, nu, N, SUB)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, nu, B4, 128), dtype),
+        jax.ShapeDtypeStruct((N, nu, nx, B4, 128), dtype),
+        jax.ShapeDtypeStruct((2, B4, 128), dtype),
+        jax.ShapeDtypeStruct((B4, 128), jnp.float32),
+    )
+    out_specs = (vspec(N, nu), vspec(N, nu, nx), vspec(2), vspec())
+    in_specs = [hbm_spec()] * 7 + [vspec(nx), vspec(nx, nx), vspec()]
+    scratch = [
+        pltpu.VMEM((2, nx, nx, SUB, 128), dtype),   # Fx
+        pltpu.VMEM((2, nx, nu, SUB, 128), dtype),   # Fu
+        pltpu.VMEM((2, nx, SUB, 128), dtype),       # Lx
+        pltpu.VMEM((2, nu, SUB, 128), dtype),       # Lu
+        pltpu.VMEM((2, nx, nx, SUB, 128), dtype),   # Lxx
+        pltpu.VMEM((2, nu, nu, SUB, 128), dtype),   # Luu
+        pltpu.VMEM((2, nx, nu, SUB, 128), dtype),   # Lxu
+        pltpu.SemaphoreType.DMA((7, 2)),
+    ]
+
+    ks, Ks, dV, okf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(Fx, Fu, Lx, Lu, Lxx, Luu, Lxu, VxT, VxxT, lam)
+    return ks, Ks, dV, okf
+
+
+def backward_pallas(config: DDPConfig, D, Vx_T, Vxx_T, lam):
+    """Drop-in for ``backward_stacked`` (same signature/layout: batch-minor
+    with trailing axis B) backed by the fused Pallas kernel.
+
+    Requires B % 128 == 0 (the stacked solver pads/los falls back otherwise).
+    """
+    N, nx = D.Fx.shape[0], D.Fx.shape[1]
+    nu = D.Fu.shape[2]
+    B = lam.shape[-1]
+    assert B % 128 == 0, "pallas backward requires B % 128 == 0"
+    B4 = B // 128
+
+    r = lambda a: a.reshape(a.shape[:-1] + (B4, 128))
+    ks, Ks, dV, okf = _backward_pallas_call(
+        config, nx, nu, N,
+        r(D.Fx), r(D.Fu), r(D.Lx), r(D.Lu), r(D.Lxx), r(D.Luu), r(D.Lxu),
+        r(Vx_T), r(Vxx_T), r(lam))
+    unr = lambda a: a.reshape(a.shape[:-2] + (B,))
+    return unr(ks), unr(Ks), unr(dV), unr(okf) > 0.5

@@ -591,7 +591,11 @@ def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
     lambda and retries; converged/non-running lanes are frozen.
     All stacked quantities carry batch on the LAST axis.
     """
-    from nmpc_tpu.kernels.ddp_backward import backward_stacked
+    if config.backward_impl == "pallas":
+        from nmpc_tpu.kernels.ddp_backward_pallas import (
+            backward_pallas as backward_stacked)
+    else:
+        from nmpc_tpu.kernels.ddp_backward import backward_stacked
 
     B = lam.shape[0]
     dtype = lam.dtype
