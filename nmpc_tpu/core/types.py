@@ -94,6 +94,22 @@ class DDPConfig:
         if self.boxqp is None:
             object.__setattr__(self, "boxqp", BoxQPConfig())
 
+    def for_fp32(self, cost_scale: float = 1e3) -> "DDPConfig":
+        """fp32-calibrated termination thresholds (SURVEY §7 "fp precision").
+
+        The reference's fp64 defaults (cost_update_thre=1e-7) sit below fp32
+        resolution for costs of order ``cost_scale``; without recalibration
+        the solver churns until lambda overflow instead of terminating.
+        eps_f32 * cost_scale ~ 1e-4 is the smallest trustworthy cost update.
+        """
+        import dataclasses as _dc
+
+        return _dc.replace(
+            self,
+            cost_update_thre=max(self.cost_update_thre, 6e-8 * cost_scale * 2),
+            k_rel_norm_thre=max(self.k_rel_norm_thre, 1e-4),
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class BoxQPConfig:

@@ -25,6 +25,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host launcher: initialize the JAX distributed runtime so that
+    ``jax.devices()`` spans every host's chips and meshes/collectives ride
+    ICI within a slice and DCN across slices (SURVEY §2.5).
+
+    On single-host (or already-initialized) setups this is a no-op.  On a
+    pod slice, call once per process before building meshes; arguments
+    default to the cluster environment (TPU metadata / env vars).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process environment: nothing to initialize
+        pass
+
+
 def make_mesh(
     devices: Optional[Sequence] = None,
     dp: Optional[int] = None,

@@ -111,6 +111,68 @@ def _combine(a, b):
     return F_ab, C_ab, J_ab
 
 
+def _inv_bl(A):
+    """Unrolled Gauss-Jordan inverse of [n, n, E] (batch-minor), partial
+    pivoting.  Keeps every op elementwise over the trailing element axis —
+    the TPU-friendly shape (dense inv kernels on [E, n, n] are lane-starved)."""
+    n = A.shape[0]
+    a = [[A[i, j] for j in range(n)] for i in range(n)]
+    zeros = jnp.zeros_like(A[0, 0])
+    ones = jnp.ones_like(A[0, 0])
+    inv = [[ones if i == j else zeros for j in range(n)] for i in range(n)]
+    for col in range(n):
+        for r in range(col + 1, n):
+            swap = jnp.abs(a[r][col]) > jnp.abs(a[col][col])
+            for j in range(n):
+                a[col][j], a[r][j] = (jnp.where(swap, a[r][j], a[col][j]),
+                                      jnp.where(swap, a[col][j], a[r][j]))
+                inv[col][j], inv[r][j] = (
+                    jnp.where(swap, inv[r][j], inv[col][j]),
+                    jnp.where(swap, inv[col][j], inv[r][j]))
+        piv = a[col][col]
+        ipiv = 1.0 / jnp.where(piv == 0, 1e-30, piv)
+        for j in range(n):
+            a[col][j] = a[col][j] * ipiv
+            inv[col][j] = inv[col][j] * ipiv
+        for r in range(n):
+            if r == col:
+                continue
+            f = a[r][col]
+            for j in range(n):
+                a[r][j] = a[r][j] - f * a[col][j]
+                inv[r][j] = inv[r][j] - f * inv[col][j]
+    return jnp.stack([jnp.stack(row, axis=0) for row in inv], axis=0)
+
+
+def _combine_bl(a, b):
+    """Batch-minor combine: same algebra as :func:`_combine` with every
+    contraction unrolled over the trailing element axis (see
+    kernels/ddp_backward.py for why this layout matters on TPU)."""
+    from nmpc_tpu.kernels.ddp_backward import _mm, _mT
+
+    Fa, Ca, Ja = a
+    Fb, Cb, Jb = b
+    nz = Fa.shape[1]
+
+    def bl(x):
+        return jnp.moveaxis(x, 0, -1)   # [E, n, n] -> [n, n, E]
+
+    def unbl(x):
+        return jnp.moveaxis(x, -1, 0)
+
+    Fa_, Ca_, Ja_ = bl(Fa), bl(Ca), bl(Ja)
+    Fb_, Cb_, Jb_ = bl(Fb), bl(Cb), bl(Jb)
+    eye = jnp.eye(nz, dtype=Fa.dtype)[:, :, None]
+    E = _inv_bl(eye + _mm(Ca_, Jb_))
+    FbE = _mm(Fb_, E)
+    F_ab = _mm(FbE, Fa_)
+    C_ab = Cb_ + _mm(_mm(FbE, Ca_), _mT(Fb_))
+    J_ab = Ja_ + _mm(_mm(_mT(Fa_), _mm(Jb_, E)), Fa_)
+    C_ab = 0.5 * (C_ab + _mT(C_ab))
+    J_ab = 0.5 * (J_ab + _mT(J_ab))
+    return unbl(F_ab), unbl(C_ab), unbl(J_ab)
+
+
 def solve_lqr_parallel(stage: LQRStage, S_T, v_T=None):
     """All-stage value matrices and gains in O(log N) depth.
 
@@ -138,7 +200,7 @@ def solve_lqr_parallel(stage: LQRStage, S_T, v_T=None):
     # suffix compositions: element i composed with everything after it.
     # NOTE: associative_scan(reverse=True) passes (later-combined, earlier)
     # to the operator, so flip the arguments.
-    Fs, Cs, Js = lax.associative_scan(lambda a, b: _combine(b, a),
+    Fs, Cs, Js = lax.associative_scan(lambda a, b: _combine_bl(b, a),
                                       (F_all, C_all, J_all), reverse=True)
     Ss = Js  # phi_{i..T}(0): with S=0 the flow value is J  -> S_i
     # (the terminal element has F=0 so the trailing composition closes the

@@ -1,0 +1,74 @@
+"""fp32 tolerance audit: the TPU precision path vs the fp64 golden solver.
+
+BASELINE.md requires u-trajectory parity at the reference configuration
+(cart-pole, horizon 100).  The framework meets 1e-8 at solver precision
+(fp64, tests/test_ddp_cartpole.py).  This audit certifies the fp32 (TPU)
+path: the achievable u-parity there is governed by problem conditioning —
+Quu ~ 0.02 for this cost scaling, so fp32 gradient noise (~1e-5 absolute on
+costs ~300) maps to u noise ~ noise/Quu ~ 4e-4 in the flat valley — while
+*cost* parity is ~1e-6 relative (the solutions are equally optimal).  The
+audit pins both numbers and the fp32-calibrated termination behavior
+(DDPConfig.for_fp32; with fp64 thresholds the solver cannot detect
+convergence below fp32 noise and escalates lambda to failure)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nmpc_tpu import DDPConfig, DDPSolver, DDPStatus
+from nmpc_tpu.models.cartpole import make_cartpole_problem
+
+from golden.cartpole_numpy import CartPoleGolden
+from golden.ddp_numpy import GoldenConfig, GoldenDDP
+
+DT = 0.01
+HORIZON = 100
+
+
+def test_fp32_parity_and_termination():
+    problem = make_cartpole_problem(DT)
+    config = DDPConfig(horizon_steps=HORIZON, max_iter=50).for_fp32()
+    solver = DDPSolver(problem, config)
+    golden = GoldenDDP(CartPoleGolden(DT),
+                       GoldenConfig(horizon_steps=HORIZON, max_iter=50))
+
+    x0_64 = np.array([0.0, np.pi, 0.0, 0.0])
+    gres = golden.solve(0.0, x0_64, np.zeros((HORIZON, 1)))
+    assert gres["status"] == "succeeded"
+
+    x0_32 = jnp.asarray(x0_64, jnp.float32)
+    us0_32 = jnp.zeros((HORIZON, 1), jnp.float32)
+    res32 = solver.solve(jnp.float32(0.0), x0_32, us0_32)
+
+    # fp32-calibrated thresholds terminate cleanly (not lambda overflow)
+    assert int(res32.status) == DDPStatus.SUCCEEDED
+
+    u64 = gres["us"][:, 0]
+    u32 = np.asarray(res32.us)[:, 0]
+    scale = np.abs(u64).max()
+    assert np.abs(u32 - u64).max() / scale < 5e-4   # conditioning-limited
+    # solution quality: cost parity well below u-space noise
+    c64 = gres["costs"].sum()
+    c32 = float(jnp.sum(res32.costs))
+    assert abs(c32 - c64) / c64 < 1e-5
+
+    # batched fp32 (stacked kernels) matches the same bounds
+    res_b = solver.solve_batch(jnp.float32(0.0), x0_32[None], us0_32[None])
+    u32b = np.asarray(res_b.us)[0, :, 0]
+    assert np.abs(u32b - u64).max() / scale < 5e-4
+    assert int(res_b.status[0]) == DDPStatus.SUCCEEDED
+
+
+def test_fp64_meets_1e4_target():
+    """The BASELINE 1e-4 u-parity target, met with margin at fp64."""
+    problem = make_cartpole_problem(DT)
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=HORIZON, max_iter=50))
+    golden = GoldenDDP(CartPoleGolden(DT),
+                       GoldenConfig(horizon_steps=HORIZON, max_iter=50))
+    gres = golden.solve(0.0, np.array([0.0, np.pi, 0.0, 0.0]),
+                        np.zeros((HORIZON, 1)))
+    res = solver.solve(0.0, jnp.array([0.0, np.pi, 0.0, 0.0]),
+                       jnp.zeros((HORIZON, 1)))
+    err = np.abs(np.asarray(res.us)[:, 0] - gres["us"][:, 0]).max()
+    assert err < 1e-4 * np.abs(gres["us"]).max()
+    assert err < 1e-8  # actual margin
