@@ -77,6 +77,16 @@ class CgmresSolver:
         self._step = jax.jit(functools.partial(_control_step, problem, config))
         self._sim = jax.jit(functools.partial(_simulate, problem, config),
                             static_argnames=("n_steps",))
+        # batched controllers: vmap over (x, next_x, state) / (x0, state)
+        self._step_batch = jax.jit(jax.vmap(
+            functools.partial(_control_step, problem, config),
+            in_axes=(None, 0, 0, 0)))
+        def _sim_batch(t0, x0s, states, n_steps):
+            return jax.vmap(
+                lambda x0, st: _simulate(problem, config, t0, x0, st,
+                                         n_steps=n_steps))(x0s, states)
+
+        self._sim_batch = jax.jit(_sim_batch, static_argnames=("n_steps",))
 
     def setup(self, t0=0.0, x0=None, u0=None) -> CgmresState:
         """Initial input via Newton+GMRES on dH/du = 0
@@ -89,6 +99,16 @@ class CgmresSolver:
     def control_step(self, t, x, next_x, state: CgmresState) -> CgmresState:
         """One ``calcControlInput`` (``CgmresSolver.cpp:111-143``)."""
         return self._step(t, x, next_x, state)
+
+    def control_step_batch(self, t, xs, next_xs, states) -> CgmresState:
+        """Batched continuation updates for many controllers at once
+        (state leaves and x arrays carry a leading batch axis)."""
+        return self._step_batch(t, xs, next_xs, states)
+
+    def simulate_batch(self, t0, x0s, states, n_steps: int):
+        """Batched on-device closed-loop simulations."""
+        return self._sim_batch(jnp.asarray(t0, x0s.dtype), x0s, states,
+                               n_steps)
 
     def simulate(self, t0=0.0, x0=None, n_steps: Optional[int] = None):
         """Fully-on-device closed-loop simulation (``CgmresSolver::run``,

@@ -88,7 +88,8 @@ class FmpcSolver:
         self.problem = problem
         self.config = config
         self.raw_solve = functools.partial(_solve, problem, config)
-        self.raw_solve_batch = jax.vmap(self.raw_solve, in_axes=(None, 0, 0, 0))
+        # natively-batched path with the batch-minor Riccati kernel
+        self.raw_solve_batch = functools.partial(_solve_batched, problem, config)
         self._solve = jax.jit(self.raw_solve)
         self._solve_batch = jax.jit(self.raw_solve_batch)
 
@@ -231,6 +232,99 @@ def _backward(problem: Problem, config: FmpcConfig, co: _Coeffs,
         finite = (jnp.all(jnp.isfinite(ks)) & jnp.all(jnp.isfinite(Ks))
                   & jnp.all(jnp.isfinite(ss_all)) & jnp.all(jnp.isfinite(Ps_all)))
     return ks, Ks, ss_all, Ps_all, ok, finite
+
+
+def _backward_batched(problem: Problem, config: FmpcConfig, co: _Coeffs,
+                      ss, nus, barrier_eps):
+    """Batch-minor condensed Riccati for the batched solve path.
+
+    Same math as :func:`_backward` (``FmpcSolver.hpp:524-665``) with the
+    batch on the vector lanes (see kernels/ddp_backward.py for why this
+    layout is ~10x faster on TPU).  ``co`` fields carry a leading batch
+    axis [B, N, ...]; ``barrier_eps`` is per-lane [B].
+    Returns (ks, Ks, ss_vec, Ps, ok_pd, finite) in [B, ...] layout.
+    """
+    from nmpc_tpu.kernels.ddp_backward import _mm, _mT, _mv
+    from nmpc_tpu.kernels.ddp_backward import _chol_bl, _chol_solve_bl
+    from nmpc_tpu.solvers.parallel_riccati import _inv_bl
+
+    dt = problem.dt
+    B = co.A.shape[0]
+    dtype = co.A.dtype
+    nu_dim = problem.input_dim
+
+    st = lambda a: jnp.moveaxis(a, 0, -1)       # [B, N, ...] -> [N, ..., B]
+    un = lambda a: jnp.moveaxis(a, -1, 0)
+
+    A, Bm, C, D = st(co.A), st(co.B), st(co.C), st(co.D)
+    Lxx, Luu, Lxu = st(co.Lxx), st(co.Luu), st(co.Lxu)
+    x_bar, g_bar = st(co.x_bar), st(co.g_bar)
+    Lx_bar, Lu_bar = st(co.Lx_bar), st(co.Lu_bar)
+    gm = st(co.gmask)
+    ss_s, nus_s = st(ss), st(nus)
+
+    s_T = -jnp.moveaxis(co.Lx_bar_term, 0, -1)   # [nx, B]
+    P_T = jnp.moveaxis(co.Lxx_term, 0, -1)       # [nx, nx, B]
+
+    def bstep(carry, inp):
+        s_vec, P, ok = carry
+        (A_, B_, C_, D_, Lxx_, Luu_, Lxu_, xb, gb, Lxb, Lub,
+         s_i, nu_i, gm_i) = inp
+
+        nu_s = jnp.where(gm_i > 0, nu_i / s_i, 0.0)          # [ng, B]
+        tilde = jnp.where(gm_i > 0,
+                          nu_s * gb - nu_i + barrier_eps[None, :] / s_i, 0.0)
+        CT = _mT(C_)                                         # [nx, ng, B]
+        DT = _mT(D_)                                         # [nu, ng, B]
+        Qxx_t = dt * Lxx_ + _mm(CT, nu_s[:, None, :] * C_)
+        Quu_t = dt * Luu_ + _mm(DT, nu_s[:, None, :] * D_)
+        Qxu_t = dt * Lxu_ + _mm(CT, nu_s[:, None, :] * D_)
+        Lx_t = Lxb + _mv(CT, tilde)
+        Lu_t = Lub + _mv(DT, tilde)
+
+        AT = _mT(A_)
+        BT = _mT(B_)
+        PA = _mm(P, A_)
+        PB = _mm(P, B_)
+        F = Qxx_t + _mm(AT, PA)
+        H = Qxu_t + _mm(AT, PB)
+        G = Quu_t + _mm(BT, PB)
+
+        rhs_k = _mv(BT, _mv(P, xb) - s_vec) + Lu_t           # [nu, B]
+        L, pd = _chol_bl(G)
+        k_chol = -_chol_solve_bl(L, rhs_k[:, None, :])[:, 0, :]
+        K_chol = -_chol_solve_bl(L, _mT(H))
+        if config.break_if_llt_fails:
+            k, K = k_chol, K_chol
+            ok = ok & pd
+        else:
+            Ginv = _inv_bl(G)
+            k_lu = -_mv(Ginv, rhs_k)
+            K_lu = -_mm(Ginv, _mT(H))
+            k = jnp.where(pd[None, :], k_chol, k_lu)
+            K = jnp.where(pd[None, None, :], K_chol, K_lu)
+
+        s_new = _mv(AT, s_vec - _mv(P, xb)) - Lx_t - _mv(H, k)
+        P_new = F - _mm(_mT(K), _mm(G, K))
+        P_new = 0.5 * (P_new + _mT(P_new))
+        return (s_new, P_new, ok), (k, K, s_new, P_new)
+
+    inputs = (A, Bm, C, D, Lxx, Luu, Lxu, x_bar, g_bar, Lx_bar, Lu_bar,
+              ss_s, nus_s, gm)
+    B_ones = jnp.ones((B,), dtype=bool)
+    (_, _, ok), (ks, Ks, svecs, Ps) = lax.scan(
+        bstep, (s_T, P_T, B_ones), inputs, reverse=True)
+
+    ss_all = jnp.concatenate([svecs, s_T[None]], axis=0)     # [N+1, nx, B]
+    Ps_all = jnp.concatenate([Ps, P_T[None]], axis=0)
+
+    finite = jnp.ones((B,), dtype=bool)
+    if config.check_nan:
+        def fin(a):
+            return jnp.all(jnp.isfinite(a), axis=tuple(range(a.ndim - 1)))
+        finite = fin(ks) & fin(Ks) & fin(ss_all) & fin(Ps_all)
+
+    return (un(ks), un(Ks), un(ss_all), un(Ps_all), ok, finite)
 
 
 def _forward(problem, config, co: _Coeffs, var: FmpcVariable, x0,
@@ -512,6 +606,162 @@ def _solve(problem: Problem, config: FmpcConfig, t0, x0,
         barrier_eps=out.eps,
         trace=FmpcTrace(
             iter=jnp.arange(config.max_iter + 1, dtype=jnp.int32),
+            kkt_error=out.trace_kkt,
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# natively-batched solve (batch-minor Riccati kernel)
+# --------------------------------------------------------------------------
+
+
+def _bwhere(mask, new, old):
+    return jnp.where(mask.reshape(mask.shape + (1,) * (new.ndim - 1)), new, old)
+
+
+class _BState(NamedTuple):
+    it: jnp.ndarray
+    iters: jnp.ndarray    # [B]
+    status: jnp.ndarray   # [B]
+    var: FmpcVariable     # leaves [B, ...]
+    kkt: jnp.ndarray      # [B]
+    ks: jnp.ndarray       # [B, N, nu]
+    Ks: jnp.ndarray       # [B, N, nu, nx]
+    eps: jnp.ndarray      # [B]
+    trace_kkt: jnp.ndarray  # [B, max_iter+1]
+
+
+def _solve_batched(problem: Problem, config: FmpcConfig, t0, x0s,
+                   variables: FmpcVariable, barrier_eps0s) -> FmpcResult:
+    """Batched FMPC solve: per-lane PDIP control flow reproduces
+    ``_solve``-under-vmap exactly (tested), with the backward Riccati in
+    the batch-minor layout (:func:`_backward_batched`)."""
+    dtype = x0s.dtype
+    t0 = jnp.asarray(t0, dtype)
+    B = x0s.shape[0]
+    N = config.horizon_steps
+    nx, nu_dim, ng = problem.state_dim, problem.input_dim, problem.ineq_dim
+    dt = problem.dt
+    ts = t0 + dt * jnp.arange(N, dtype=dtype)
+    gms = jax.vmap(lambda t: problem.ineq_mask_at(t).astype(dtype))(ts)  # [N, ng]
+
+    v_coeffs = jax.vmap(functools.partial(_coeffs, problem, config),
+                        in_axes=(None, 0, 0))
+    v_kkt = jax.vmap(_kkt_error, in_axes=(0, 0, 0, 0))
+    v_forward = jax.vmap(
+        functools.partial(_forward, problem, config),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    v_update = jax.vmap(
+        functools.partial(_update, problem, config, t0),
+        in_axes=(0, 0, 0, 0, 0))
+
+    var = variables
+    eps = jnp.asarray(barrier_eps0s, dtype)
+
+    if config.init_complementary_variable:
+        margin, cmin = 1e-2, 1e-2
+        eps = jnp.full((B,), _BARRIER_EPS_INIT, dtype)
+        g0 = jax.vmap(lambda xs_, us_: jax.vmap(problem.ineq_const)(
+            ts, xs_, us_))(var.xs[:, :-1], var.us)
+        ss = (1.0 + margin) * jnp.maximum(-g0, cmin)
+        nus = (1.0 + margin) * jnp.maximum(eps[:, None, None] / ss, cmin)
+        var = FmpcVariable(var.xs, var.us, var.lambdas, ss, nus)
+
+    var = FmpcVariable(
+        xs=var.xs, us=var.us, lambdas=var.lambdas,
+        ss=jnp.where(gms[None] > 0, var.ss, 1.0),
+        nus=jnp.where(gms[None] > 0, var.nus, 0.0),
+    )
+    n_active = jnp.maximum(jnp.sum(gms), 1.0)
+    ws_valid = (jnp.all(var.ss * gms[None] >= 0, axis=(1, 2))
+                & jnp.all(var.nus * gms[None] >= 0, axis=(1, 2)))
+
+    state = _BState(
+        it=jnp.int32(0),
+        iters=jnp.zeros((B,), jnp.int32),
+        status=jnp.where(ws_valid,
+                         jnp.int32(FmpcStatus.ITERATION_CONTINUED),
+                         jnp.int32(FmpcStatus.UNINITIALIZED)),
+        var=var,
+        kkt=jnp.full((B,), jnp.inf, dtype),
+        ks=jnp.zeros((B, N, nu_dim), dtype),
+        Ks=jnp.zeros((B, N, nu_dim, nx), dtype),
+        eps=eps,
+        trace_kkt=jnp.zeros((B, config.max_iter + 1), dtype),
+    )
+
+    def cond(s: _BState):
+        return jnp.any(s.status == FmpcStatus.ITERATION_CONTINUED) & (
+            s.it < config.max_iter)
+
+    def body(s: _BState):
+        it = s.it + 1
+        running = s.status == FmpcStatus.ITERATION_CONTINUED
+        var = s.var
+        eps = s.eps
+
+        if config.update_barrier_eps:
+            s_nu_ave = jnp.sum(var.ss * var.nus * gms[None],
+                               axis=(1, 2)) / n_active
+            eps = jnp.clip(_SIGMA * s_nu_ave, _BARRIER_EPS_MIN,
+                           _BARRIER_EPS_MAX)
+
+        co = v_coeffs(t0, x0s, var)
+        kkt = v_kkt(x0s, var, co, jnp.zeros((B,), dtype))
+        trace_kkt = s.trace_kkt.at[:, it].set(
+            jnp.where(running, kkt, s.trace_kkt[:, it]))
+
+        succeeded = kkt <= config.kkt_error_thre
+
+        ks, Ks, ss_vec, Ps, bw_ok, bw_finite = _backward_batched(
+            problem, config, co, var.ss, var.nus, eps)
+        bw_good = bw_ok & bw_finite
+
+        delta, fw_finite = v_forward(co, var, x0s, ks, Ks, ss_vec, Ps, eps)
+        new_var, up_ok = v_update(x0s, co, var, delta, eps)
+
+        status = jnp.full((B,), FmpcStatus.ITERATION_CONTINUED, jnp.int32)
+        status = jnp.where(~up_ok, jnp.int32(FmpcStatus.ERROR_IN_UPDATE), status)
+        status = jnp.where(~fw_finite, jnp.int32(FmpcStatus.ERROR_IN_FORWARD), status)
+        status = jnp.where(~bw_good, jnp.int32(FmpcStatus.ERROR_IN_BACKWARD), status)
+        status = jnp.where(succeeded, jnp.int32(FmpcStatus.SUCCEEDED), status)
+        status = jnp.where(running, status, s.status)
+
+        advance = running & (status == FmpcStatus.ITERATION_CONTINUED)
+        var_out = jax.tree_util.tree_map(
+            lambda n_, o_: _bwhere(advance, n_, o_), new_var, var)
+        take_gains = running & bw_good & ~succeeded
+        ks_out = _bwhere(take_gains, ks, s.ks)
+        Ks_out = _bwhere(take_gains, Ks, s.Ks)
+
+        return _BState(
+            it=it,
+            iters=jnp.where(running, s.iters + 1, s.iters),
+            status=status,
+            var=var_out,
+            kkt=jnp.where(running, kkt, s.kkt),
+            ks=ks_out, Ks=Ks_out,
+            eps=jnp.where(running, eps, s.eps),
+            trace_kkt=trace_kkt,
+        )
+
+    out = lax.while_loop(cond, body, state)
+    status = jnp.where(out.status == FmpcStatus.ITERATION_CONTINUED,
+                       jnp.int32(FmpcStatus.MAX_ITERATION_REACHED), out.status)
+
+    return FmpcResult(
+        status=status,
+        iters=out.iters,
+        variable=out.var,
+        kkt_error=out.kkt,
+        ks=out.ks,
+        Ks=out.Ks,
+        barrier_eps=out.eps,
+        trace=FmpcTrace(
+            iter=jnp.broadcast_to(
+                jnp.arange(config.max_iter + 1, dtype=jnp.int32),
+                (B, config.max_iter + 1)),
             kkt_error=out.trace_kkt,
         ),
     )

@@ -178,3 +178,26 @@ def test_use_jvp_mode():
     _, xs1, us1, _ = s_fd.simulate()
     _, xs2, us2, _ = s_jvp.simulate()
     np.testing.assert_allclose(np.asarray(us1), np.asarray(us2), atol=1e-3)
+
+
+def test_batched_controllers():
+    """Batched control steps / simulations match per-instance results."""
+    import jax
+    problem = make_damper_problem()
+    config = CgmresConfig(sim_duration=0.05)
+    solver = CgmresSolver(problem, config)
+    state = solver.setup()
+    B = 3
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.tile([2.0, 0.0], (B, 1))
+                      + 0.1 * rng.normal(size=(B, 2)))
+    states = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
+    ts_b, xs_b, us_b, errs_b = solver.simulate_batch(0.0, x0s, states, 20)
+    for i in range(B):
+        ts, xs, us, errs = solver._sim(jnp.asarray(0.0), x0s[i], state,
+                                       n_steps=20)
+        np.testing.assert_allclose(np.asarray(xs_b[i]), np.asarray(xs),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(us_b[i]), np.asarray(us),
+                                   atol=1e-12)
