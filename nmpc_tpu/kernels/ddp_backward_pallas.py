@@ -21,7 +21,6 @@ Cholesky with the Eigen-LLT pivot>0 failure rule); parity is tested.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -68,8 +68,45 @@ def make_closed_loop(solver, n_steps: int, sim_dynamics: Optional[Callable] = No
     return jax.jit(sim)
 
 
-def make_closed_loop_batch(solver, n_steps: int, **kwargs):
-    """Batched closed-loop simulator over a leading axis of (x0, us0)."""
-    sim = make_closed_loop(solver, n_steps, **kwargs)
-    inner = sim.__wrapped__ if hasattr(sim, "__wrapped__") else sim
-    return jax.jit(jax.vmap(inner, in_axes=(None, 0, 0)))
+def make_closed_loop_batch(solver, n_steps: int,
+                           sim_dynamics: Optional[Callable] = None):
+    """Batched closed-loop simulator over a leading axis of (x0, us0).
+
+    Uses the solver's natively-batched (stacked-kernel) solve path — a vmap
+    of the single-instance loop would silently fall back to the slow
+    batch-major layout (2.5x the tick latency at B=256)."""
+    problem: Problem = solver.problem
+    dt = problem.dt
+    if sim_dynamics is None:
+        sim_dynamics = problem.dynamics
+    v_dyn = jax.vmap(sim_dynamics, in_axes=(None, 0, 0))
+
+    def shift_b(t_next, uss):
+        last = uss[:, -1]
+        if problem.input_mask is not None:
+            N = uss.shape[1]
+            t_term_new = t_next + N * dt
+            m_new = problem.input_mask_at(t_term_new)
+            m_old = problem.input_mask_at(t_term_new - dt)
+            same = jnp.all(m_new == m_old)
+            last = jnp.where(same, last * m_new[None, :],
+                             jnp.zeros_like(last))
+        return jnp.concatenate([uss[:, 1:], last[:, None]], axis=1)
+
+    def step(carry, i):
+        t, xs, uss = carry
+        res = solver.raw_solve_batch(t, xs, uss)
+        us0 = res.us[:, 0]
+        xs_next = v_dyn(t, xs, us0)
+        uss_next = shift_b(t + dt, res.us)
+        return (t + dt, xs_next, uss_next), (t, xs, us0, res.iters, res.status)
+
+    def sim(t0, x0s, us0s):
+        (_, _, _), (ts, xs, us, iters, status) = lax.scan(
+            step, (jnp.asarray(t0, x0s.dtype), x0s, us0s),
+            jnp.arange(n_steps))
+        # emit batch-leading logs [B, S, ...]
+        mv = lambda a: jnp.moveaxis(a, 0, 1) if a.ndim > 1 else a
+        return ClosedLoopLog(ts, mv(xs), mv(us), mv(iters), mv(status))
+
+    return jax.jit(sim)

@@ -173,7 +173,6 @@ def _backward(problem: Problem, config: FmpcConfig, co: _Coeffs,
     dt = problem.dt
     dtype = var.xs.dtype
     nu_dim = problem.input_dim
-    eye_nu = jnp.eye(nu_dim, dtype=dtype)
 
     s_T = -co.Lx_bar_term    # (2.34)
     P_T = co.Lxx_term

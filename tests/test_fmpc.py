@@ -152,3 +152,62 @@ def test_init_complementary_variable():
     res = solver.solve(0.0, jnp.array([0.0, 1.0]), var)
     assert int(res.status) in (FmpcStatus.SUCCEEDED,
                                FmpcStatus.MAX_ITERATION_REACHED)
+
+
+class _CartPoleFmpcGolden:
+    """Cart-pole FMPC problem for the NumPy golden solver (analytic derivs
+    reused from the DDP golden; constraints from TestFmpcCartPole.cpp:118-131)."""
+
+    def __init__(self, dt, u_max=15.0, x_max=20.0):
+        from golden.cartpole_numpy import CartPoleGolden
+        self._cp = CartPoleGolden(dt)
+        self.dt = dt
+        self.u_max, self.x_max = u_max, x_max
+
+    def dynamics(self, t, x, u):
+        return self._cp.dynamics(t, x, u)
+
+    def running_cost(self, t, x, u):
+        return self._cp.running_cost(t, x, u)
+
+    def terminal_cost(self, t, x):
+        return self._cp.terminal_cost(t, x)
+
+    def ineq(self, t, x, u):
+        return np.array([-u[0] - self.u_max, u[0] - self.u_max,
+                         -x[0] - self.x_max, x[0] - self.x_max])
+
+    def fx_fu(self, t, x, u):
+        return self._cp.fx_fu(t, x, u)
+
+    def ineq_derivs(self, t, x, u):
+        C = np.zeros((4, 4))
+        C[2, 0] = -1.0
+        C[3, 0] = 1.0
+        D = np.array([[-1.0], [1.0], [0.0], [0.0]])
+        return C, D
+
+    def lderivs(self, t, x, u):
+        return self._cp.lderivs(t, x, u)
+
+    def vderivs(self, t, x):
+        return self._cp.vderivs(t, x)
+
+
+def test_cartpole_fmpc_matches_golden():
+    """Cart-pole FMPC golden parity (second problem family through the
+    independent NumPy PDIP implementation)."""
+    N = 100
+    problem = make_cartpole_fmpc_problem(DT)
+    solver = FmpcSolver(problem, FmpcConfig(horizon_steps=N, max_iter=5))
+    golden = GoldenFmpc(_CartPoleFmpcGolden(DT),
+                        GoldenFmpcConfig(horizon_steps=N, max_iter=5))
+    var = fmpc_variable_reset(N, 4, 1, 4, s=1.0, nu_=1.0)
+    x0 = jnp.array([0.0, np.pi, 0.0, 0.0])
+    res = solver.solve(0.0, x0, var)
+    gres = golden.solve(0.0, np.asarray(x0), _variable_np(var))
+    assert int(res.iters) == gres["iters"]
+    np.testing.assert_allclose(np.asarray(res.variable.us), gres["us"],
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.variable.ss), gres["ss"],
+                               atol=1e-7)
