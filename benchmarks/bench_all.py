@@ -77,7 +77,7 @@ def bench_boxed_ddp_vertical():
     solver = DDPSolver(problem, DDPConfig(horizon_steps=100, max_iter=3,
                                           initial_lambda=1e-6,
                                           with_input_constraint=True))
-    B = 256
+    B = 1024
     rng = np.random.default_rng(0)
     x0s = jnp.asarray((np.tile([1.2, 0.0], (B, 1))
                        + 0.05 * rng.normal(size=(B, 2))).astype(np.float32))

@@ -41,6 +41,14 @@ class StackedDerivs(NamedTuple):
     Lxu: jnp.ndarray  # [N, nx, nu, B]
 
 
+class StackedBounds(NamedTuple):
+    """Box-constraint data for the boxed backward (batch-minor)."""
+
+    lower: jnp.ndarray  # [N, nu, B] bounds relative shift base: absolute
+    upper: jnp.ndarray  # [N, nu, B]
+    u: jnp.ndarray      # [N, nu, B] current inputs (bounds taken relative)
+
+
 def _mm(A, B):
     """[i, k, B] @ [k, j, B] -> [i, j, B] (broadcast-multiply + reduce,
     keeps the batch on the lanes; no dot_general)."""
@@ -93,6 +101,198 @@ def _chol_solve_bl(L, B):
             s = s - L[k][i][None, :] * x[k]
         x[i] = s / L[i][i][None, :]
     return jnp.stack(x, axis=0)
+
+
+def _obj_bl(x, H, g):
+    return jnp.sum(x * g, axis=0) + 0.5 * jnp.sum(x * _mv(H, x), axis=0)
+
+
+def boxqp_stacked(H, g, lower, upper, x0, config):
+    """Batch-minor projected-Newton BoxQP (reference ``BoxQP.h:141-347``).
+
+    All arrays carry trailing batch B: H [n,n,B], rest [n,B].  Per-lane
+    control flow (early exits, Armijo backtracking) is masked, exactly
+    matching ``solvers/boxqp.py`` under vmap.  Returns
+    (x, ok [B], free_mask [n,B], cholL [n,n,B]).
+    """
+    from nmpc_tpu.core.types import BoxQPStatus
+
+    n, B = g.shape
+    dtype = g.dtype
+    eye = jnp.eye(n, dtype=dtype)[:, :, None]
+
+    x = jnp.clip(x0, lower, upper)
+    obj = _obj_bl(x, H, g)
+
+    class C(NamedTuple):
+        x: jnp.ndarray
+        obj: jnp.ndarray
+        old_obj: jnp.ndarray
+        status: jnp.ndarray   # [B]
+        it: jnp.ndarray
+        free: jnp.ndarray     # [n, B] float
+        chol: jnp.ndarray     # [n, n, B]
+
+    init = C(x=x, obj=obj, old_obj=obj,
+             status=jnp.zeros((B,), jnp.int32), it=jnp.int32(0),
+             free=jnp.ones((n, B), dtype), chol=jnp.broadcast_to(eye, (n, n, B)) * 1.0)
+
+    def cond(c: C):
+        return jnp.any(c.status == 0) & (c.it < config.max_iter)
+
+    def body(c: C):
+        it = c.it + 1
+        active = c.status == 0
+
+        improve_done = (it > 1) & (
+            (c.old_obj - c.obj) < config.rel_improve_thre * jnp.abs(c.old_obj))
+        old_obj = jnp.where(active, c.obj, c.old_obj)
+
+        grad = g + _mv(H, c.x)
+        clamped = (((c.x == lower) & (grad > 0))
+                   | ((c.x == upper) & (grad < 0)))
+        free = (~clamped).astype(dtype)
+        cm = clamped.astype(dtype)
+        all_clamped = jnp.all(clamped, axis=0)
+
+        H_masked = free[:, None, :] * H * free[None, :, :] + eye * cm[None, :, :]
+        Lrows, chol_ok = _chol_bl(H_masked)
+        cholL = jnp.stack([jnp.stack(
+            [Lrows[i][j] if j <= i else jnp.zeros((B,), dtype)
+             for j in range(n)], axis=0) for i in range(n)], axis=0)
+
+        grad_norm2 = jnp.sum(free * grad * grad, axis=0)
+        small_grad = grad_norm2 < config.grad_thre**2
+
+        rhs = free * (g + _mv(H, cm * c.x))
+        d = free * (-_chol_solve_bl(Lrows, rhs[:, None, :])[:, 0, :]
+                    - free * c.x)
+        sdg = jnp.sum(d * grad, axis=0)
+        bad_dir = sdg > 1e-10
+
+        pre_exit = improve_done | all_clamped | (~chol_ok) | small_grad | bad_dir
+
+        # masked Armijo backtracking (BoxQP.h:293-309)
+        def cand(step):
+            xc = jnp.clip(c.x + step[None, :] * d, lower, upper)
+            return xc, _obj_bl(xc, H, g)
+
+        step0 = jnp.ones((B,), dtype)
+        xc0, objc0 = cand(step0)
+        ls_active0 = active & ~pre_exit
+
+        def ls_cond(s):
+            step, xc, objc, hit_min, k, act = s
+            fail = (objc - old_obj) / (step * sdg) < config.armijo_param
+            return jnp.any(act & fail & ~hit_min) & (k < config.max_ls_iter)
+
+        def ls_body(s):
+            step, xc, objc, hit_min, k, act = s
+            fail = (objc - old_obj) / (step * sdg) < config.armijo_param
+            upd = act & fail & ~hit_min
+            step = jnp.where(upd, step * config.step_factor, step)
+            xc2, objc2 = cand(step)
+            xc = jnp.where(upd[None, :], xc2, xc)
+            objc = jnp.where(upd, objc2, objc)
+            hit_min = hit_min | (upd & (step < config.min_step))
+            return (step, xc, objc, hit_min, k + 1, act)
+
+        _, x_cand, obj_cand, _, _, _ = lax.while_loop(
+            ls_cond, ls_body,
+            (step0, xc0, objc0, jnp.zeros((B,), bool), jnp.int32(0),
+             ls_active0))
+
+        status = c.status
+
+        def pick(cond_, code):
+            nonlocal status
+            status = jnp.where(active & (status == 0) & cond_,
+                               jnp.int32(code), status)
+
+        pick(improve_done, BoxQPStatus.SMALL_IMPROVEMENT)
+        pick(all_clamped, BoxQPStatus.ALL_CLAMPED)
+        pick(~chol_ok, BoxQPStatus.HESSIAN_NOT_PD)
+        pick(small_grad, BoxQPStatus.SMALL_GRADIENT)
+        pick(bad_dir, BoxQPStatus.POSITIVE_DIR_DERIV)
+        pick(it >= config.max_iter, BoxQPStatus.MAX_ITER)
+
+        take = active & ~pre_exit
+        x_new = jnp.where(take[None, :], x_cand, c.x)
+        obj_new = jnp.where(take, obj_cand, c.obj)
+
+        keep_prev = ~active | improve_done
+        free_out = jnp.where(keep_prev[None, :], c.free, free)
+        chol_out = jnp.where(keep_prev[None, None, :], c.chol, cholL)
+
+        return C(x=x_new, obj=obj_new, old_obj=old_obj, status=status,
+                 it=it, free=free_out, chol=chol_out)
+
+    out = lax.while_loop(cond, body, init)
+    ok = out.status >= 0
+    return out.x, ok, out.free, out.chol
+
+
+def backward_stacked_boxed(config: DDPConfig, D: StackedDerivs,
+                           bounds: StackedBounds, Vx_T, Vxx_T, lam):
+    """Boxed backward pass, batch-minor: BoxQP feedforward + free-subspace
+    feedback gains (``DDPSolver.hpp:450-497``), warm-started from the next
+    stage's feedforward."""
+    nx = D.Fx.shape[1]
+    nu = D.Fu.shape[2]
+    B = Vx_T.shape[-1]
+    dtype = Vx_T.dtype
+    eye_nx = jnp.eye(nx, dtype=dtype)[:, :, None]
+
+    reg1 = config.reg_type == 1
+    reg2 = config.reg_type == 2
+
+    def bstep(carry, d):
+        Vx, Vxx, dV, ok, k_next = carry
+        (Fx, Fu, Lx, Lu, Lxx, Luu, Lxu), (lo, hi, u_i) = d
+
+        FuT = _mT(Fu)
+        FxT = _mT(Fx)
+        Qu = Lu + _mv(FuT, Vx)
+        Qx = Lx + _mv(FxT, Vx)
+        FuT_Vxx = _mm(FuT, Vxx)
+        Qux = _mT(Lxu) + _mm(FuT_Vxx, Fx)
+        Quu = Luu + _mm(FuT_Vxx, Fu)
+        Qxx = Lxx + _mm(FxT_Vxx := _mm(FxT, Vxx), Fx)
+
+        if reg2:
+            Vxx_reg = Vxx + lam[None, None, :] * eye_nx
+            FuT_Vr = _mm(FuT, Vxx_reg)
+            Qux_reg = _mT(Lxu) + _mm(FuT_Vr, Fx)
+            Quu_F = Luu + _mm(FuT_Vr, Fu)
+        else:
+            Qux_reg = Qux
+            Quu_F = Quu
+        if reg1:
+            Quu_F = Quu_F + lam[None, None, :] * jnp.eye(nu, dtype=dtype)[:, :, None]
+
+        k, ok_i, free, cholL = boxqp_stacked(
+            Quu_F, Qu, lo - u_i, hi - u_i, k_next, config.boxqp)
+        Lrows = [[cholL[i, j] for j in range(nu)] for i in range(nu)]
+        K = -free[:, None, :] * _chol_solve_bl(Lrows, free[:, None, :] * Qux_reg)
+
+        Quu_k = _mv(Quu, k)
+        KT = _mT(K)
+        dV = dV + jnp.stack([
+            jnp.sum(k * Qu, axis=0),
+            0.5 * jnp.sum(k * Quu_k, axis=0),
+        ])
+        Vx_new = Qx + _mv(KT, Quu_k) + _mv(KT, Qu) + _mv(_mT(Qux), k)
+        Vxx_new = (Qxx + _mm(KT, _mm(Quu, K)) + _mm(KT, Qux)
+                   + _mm(_mT(Qux), K))
+        Vxx_new = 0.5 * (Vxx_new + _mT(Vxx_new))
+
+        return (Vx_new, Vxx_new, dV, ok & ok_i, k), (k, K)
+
+    init = (Vx_T, Vxx_T, jnp.zeros((2, B), dtype), jnp.ones((B,), dtype=bool),
+            jnp.zeros((nu, B), dtype))
+    (_, _, dV, ok, _), (ks, Ks) = lax.scan(
+        bstep, init, (tuple(D), tuple(bounds)), reverse=True)
+    return ks, Ks, dV, ok
 
 
 def backward_stacked(config: DDPConfig, D: StackedDerivs, Vx_T, Vxx_T, lam):

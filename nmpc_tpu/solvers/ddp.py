@@ -79,9 +79,10 @@ class DDPSolver:
         # layer to re-jit with explicit shardings (parallel/mesh.py).
         self.raw_solve = functools.partial(_solve, problem, config)
         # Batched solve: the batch-minor "stacked" backward kernel is the
-        # fast path (see kernels/ddp_backward.py); boxed-input and
-        # second-order configurations fall back to vmap-of-single.
-        if config.with_input_constraint or config.use_state_eq_second_derivative:
+        # fast path (see kernels/ddp_backward.py; boxed inputs use the
+        # stacked BoxQP). Second-order configurations fall back to
+        # vmap-of-single.
+        if config.use_state_eq_second_derivative:
             self.raw_solve_batch = jax.vmap(self.raw_solve, in_axes=(None, 0, 0))
         else:
             self.raw_solve_batch = functools.partial(_solve_stacked, problem, config)
@@ -583,15 +584,22 @@ def _bwhere(mask, new, old):
 
 
 def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
-                            running):
+                            running, bounds=None):
     """Per-lane lambda-retry loop around the stacked backward kernel.
 
     Semantics per lane match ``_backward_with_retry`` under vmap
     (``DDPSolver.hpp:191-209``): a lane whose backward fails bumps its own
     lambda and retries; converged/non-running lanes are frozen.
     All stacked quantities carry batch on the LAST axis.
+    ``bounds`` (StackedBounds) selects the boxed-BoxQP backward.
     """
-    if config.backward_impl == "pallas":
+    if bounds is not None:
+        from nmpc_tpu.kernels.ddp_backward import backward_stacked_boxed
+
+        def backward_stacked(config, Dst, VxT_s, VxxT_s, lam):
+            return backward_stacked_boxed(config, Dst, bounds, VxT_s,
+                                          VxxT_s, lam)
+    elif config.backward_impl == "pallas":
         from nmpc_tpu.kernels.ddp_backward_pallas import (
             backward_pallas as backward_stacked)
     else:
@@ -648,9 +656,8 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
     """Natively-batched DDP solve: public layout batch-first, backward pass
     batch-minor (kernels/ddp_backward.py).  Per-lane control flow reproduces
     ``_solve``-under-vmap exactly (tested)."""
-    from nmpc_tpu.kernels.ddp_backward import stack_derivs
+    from nmpc_tpu.kernels.ddp_backward import StackedBounds, stack_derivs
 
-    assert not config.with_input_constraint
     assert not config.use_state_eq_second_derivative
     dtype = x0s.dtype
     t0 = jnp.asarray(t0, dtype)
@@ -708,10 +715,16 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
         VxxT_s = jnp.moveaxis(VxxT, 0, -1)
         ks0_s = jnp.moveaxis(s.ks, 0, -1)
         Ks0_s = jnp.moveaxis(s.Ks, 0, -1)
+        bounds = None
+        if config.with_input_constraint:
+            mv = lambda a: jnp.moveaxis(a, 0, -1)
+            bounds = StackedBounds(lower=mv(D.lower), upper=mv(D.upper),
+                                   u=mv(D.u))
 
         # Step 2: backward with per-lane lambda retry.
         lam, dlam, ks_s, Ks_s, dV_s, bw_failed = _backward_retry_stacked(
-            config, Dst, VxT_s, VxxT_s, s.lam, s.dlam, ks0_s, Ks0_s, running)
+            config, Dst, VxT_s, VxxT_s, s.lam, s.dlam, ks0_s, Ks0_s, running,
+            bounds=bounds)
         ks = jnp.moveaxis(ks_s, -1, 0)       # [B, N, nu]
         Ks = jnp.moveaxis(Ks_s, -1, 0)       # [B, N, nu, nx]
         dV = jnp.moveaxis(dV_s, -1, 0)       # [B, 2]

@@ -76,3 +76,44 @@ def test_shift_warm_start_mask_change():
     t_next = 2.0 - 10 * 0.01 + 0.005
     shifted = shift_warm_start(problem, t_next, us)
     assert shifted.shape == us.shape
+
+
+def test_boxed_batch_matches_single():
+    """Boxed-DDP stacked batch path == vmapped single solves (exercises the
+    batch-minor BoxQP, kernels/ddp_backward.py::boxqp_stacked)."""
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+
+    problem = make_cartpole_problem(0.01, input_limits=(-15.0, 15.0))
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=40, max_iter=10,
+                                          with_input_constraint=True))
+    B = 4
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                      + 0.1 * rng.normal(size=(B, 4)))
+    us0 = jnp.zeros((B, 40, 1))
+    batch = solver.solve_batch(0.0, x0s, us0)
+    for i in range(B):
+        single = solver.solve(0.0, x0s[i], us0[i])
+        assert int(batch.status[i]) == int(single.status)
+        assert int(batch.iters[i]) == int(single.iters)
+        np.testing.assert_allclose(np.asarray(batch.us[i]),
+                                   np.asarray(single.us), atol=1e-9)
+
+
+def test_boxed_batch_vertical_masked():
+    """Boxed stacked path with time-varying masked dims (vertical motion)."""
+    problem = make_vertical_problem(0.01)
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=60, max_iter=3,
+                                          initial_lambda=1e-6,
+                                          with_input_constraint=True))
+    B = 3
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(np.tile([1.2, 0.0], (B, 1))
+                      + 0.05 * rng.normal(size=(B, 2)))
+    us0 = jnp.zeros((B, 60, 2))
+    batch = solver.solve_batch(1.8, x0s, us0)  # horizon spans the dim switch
+    for i in range(B):
+        single = solver.solve(1.8, x0s[i], us0[i])
+        np.testing.assert_allclose(np.asarray(batch.us[i]),
+                                   np.asarray(single.us), atol=1e-9)
+        assert int(batch.status[i]) == int(single.status)
