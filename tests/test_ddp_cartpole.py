@@ -137,3 +137,34 @@ def test_trace_schema():
     # iterations monotone cost decrease on accepted rows
     costs = np.asarray(tr.cost[: it + 1])
     assert costs[-1] <= costs[0]
+
+
+def test_trace_rows_match_golden():
+    """Per-iteration trace parity vs golden: cost, lambda, dlambda, alpha
+    sequences (the reference's TraceData rows, DDPSolver.h:179-216)."""
+    solver, golden = _solvers(max_iter=30)
+    x0 = jnp.array([0.0, np.pi, 0.0, 0.0])
+    res = solver.solve(0.0, x0, jnp.zeros((HORIZON, 1)))
+    gres = golden.solve(0.0, np.asarray(x0), np.zeros((HORIZON, 1)))
+    tr = res.trace
+    for row in gres["trace"]:
+        i = row["iter"]
+        if "cost" in row:
+            np.testing.assert_allclose(float(tr.cost[i]), row["cost"],
+                                       rtol=1e-10, err_msg=f"iter {i} cost")
+        if "lam" in row:
+            np.testing.assert_allclose(float(tr.lam[i]), row["lam"],
+                                       rtol=1e-10, err_msg=f"iter {i} lam")
+        if "dlam" in row:
+            np.testing.assert_allclose(float(tr.dlam[i]), row["dlam"],
+                                       rtol=1e-10, err_msg=f"iter {i} dlam")
+        if "alpha" in row:
+            np.testing.assert_allclose(float(tr.alpha[i]), row["alpha"],
+                                       rtol=1e-12, err_msg=f"iter {i} alpha")
+    # stacked batch path produces identical trace rows
+    res_b = solver.solve_batch(0.0, x0[None], jnp.zeros((1, HORIZON, 1)))
+    n = int(res.iters) + 1
+    np.testing.assert_allclose(np.asarray(res_b.trace.cost[0][:n]),
+                               np.asarray(tr.cost[:n]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_b.trace.lam[0][:n]),
+                               np.asarray(tr.lam[:n]), atol=1e-12)
