@@ -45,6 +45,43 @@ def test_sharded_solve_matches_local():
     assert res_sh.us.sharding.spec == batch_sharding(mesh).spec
 
 
+def test_horizon_sharded_riccati_matches_sequential():
+    """Distributed suffix-scan Riccati over the sp axis == sequential
+    recursion, on a (dp=2, sp=4) mesh (horizon split over 4 devices)."""
+    from nmpc_tpu.parallel.horizon import solve_lqr_horizon_sharded
+    from nmpc_tpu.solvers.parallel_riccati import (
+        LQRStage,
+        solve_lqr_sequential,
+    )
+
+    rng = np.random.default_rng(7)
+    N, nx, nu = 64, 4, 2
+    A = jnp.asarray(rng.normal(size=(N, nx, nx)) * 0.3 + np.eye(nx)[None])
+    B = jnp.asarray(rng.normal(size=(N, nx, nu)) * 0.3)
+    c = jnp.asarray(rng.normal(size=(N, nx)) * 0.1)
+    W = rng.normal(size=(N, nx, nx)) * 0.3
+    Qxx = jnp.asarray(W @ W.transpose(0, 2, 1) + 0.5 * np.eye(nx)[None])
+    Wu = rng.normal(size=(N, nu, nu)) * 0.3
+    Quu = jnp.asarray(Wu @ Wu.transpose(0, 2, 1) + np.eye(nu)[None])
+    Qux = jnp.asarray(rng.normal(size=(N, nu, nx)) * 0.2)
+    q = jnp.asarray(rng.normal(size=(N, nx)) * 0.2)
+    r = jnp.asarray(rng.normal(size=(N, nu)) * 0.2)
+    stage = LQRStage(A, B, c, Qxx, Quu, Qux, q, r)
+    Wt = rng.normal(size=(nx, nx))
+    S_T = jnp.asarray(Wt @ Wt.T + np.eye(nx))
+    v_T = jnp.asarray(rng.normal(size=nx))
+
+    mesh = make_mesh(dp=2, sp=4)
+    Ks_seq, ks_seq = solve_lqr_sequential(stage, S_T, v_T)
+    Ks, ks, Ss = solve_lqr_horizon_sharded(stage, S_T, v_T, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(Ks), np.asarray(Ks_seq),
+                               atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(ks), np.asarray(ks_seq),
+                               atol=1e-8, rtol=1e-8)
+    assert Ss.shape == (N, nx + 1, nx + 1)
+
+
 def test_convergence_stats_psum():
     problem = make_cartpole_problem(0.01)
     solver = DDPSolver(problem, DDPConfig(horizon_steps=30, max_iter=10))
