@@ -61,6 +61,10 @@ class DDPConfig:
 
     horizon_steps: int = 100
     max_iter: int = 500
+    # 0 none, 1 failure warnings, 3 per-iteration diagnostics — the
+    # reference's print_level gate (DDPSolver.h:62-63); static, so level 0
+    # compiles to nothing (see utils/logging.py).
+    print_level: int = 0
     use_state_eq_second_derivative: bool = False
     with_input_constraint: bool = False
     reg_type: int = 1              # 1: Quu + lambda I, 2: Vxx + lambda I
@@ -210,6 +214,9 @@ class FmpcConfig:
 
     horizon_steps: int = 100
     max_iter: int = 10
+    # reference print_level gate (FmpcSolver.h:60-61); static (see
+    # utils/logging.py): 1 failure warnings, 3 per-iteration KKT trace.
+    print_level: int = 0
     kkt_error_thre: float = 1e-4
     check_nan: bool = True
     init_complementary_variable: bool = False

@@ -57,6 +57,11 @@ class CgmresConfig:
     use_jvp: bool = False            # exact JVPs instead of finite differences
     setup_newton_iters: int = 100    # CgmresSolver.cpp:31
     setup_tol: float = 1e-6
+    # host-loop diagnostics gate (the reference streams progress to stdout
+    # and /tmp dumps from run(), CgmresSolver.cpp:66-103)
+    print_level: int = 0
+    # every dump_step-th control step is written by run(dump_prefix=...)
+    dump_step: int = 1
 
 
 class CgmresState(NamedTuple):
@@ -120,8 +125,13 @@ class CgmresSolver:
         return self._sim(jnp.asarray(t0, jnp.asarray(x0).dtype),
                          jnp.asarray(x0), state, n_steps=n_steps)
 
-    def run(self, t0=0.0, x0=None, callback=None):
-        """Host-loop variant of :meth:`simulate` with per-step callback."""
+    def run(self, t0=0.0, x0=None, callback=None, dump_prefix=None):
+        """Host-loop variant of :meth:`simulate` with per-step callback.
+
+        ``dump_prefix`` (e.g. ``"/tmp/cgmres"``) streams
+        ``{prefix}_{x,u,err,param}.dat`` in the reference's format
+        (``CgmresSolver::run``, ``CgmresSolver.cpp:68-103``).
+        """
         import numpy as np
 
         cfg = self.config
@@ -133,18 +143,27 @@ class CgmresSolver:
         ts, xs, us, errs = [], [], [], []
         t = t0
         n = int(round(cfg.sim_duration / cfg.dt)) + 1
-        for _ in range(n):
+        for i in range(n):
             next_x = sim_f(f, t, x, state.u, cfg.dt)
             state = self.control_step(t, x, next_x, state)
             ts.append(t)
             xs.append(np.asarray(x))
             us.append(np.asarray(state.u))
             errs.append(float(state.err))
+            if cfg.print_level >= 3 and i % max(cfg.dump_step, 1) == 0:
+                print(f"[CGMRES] t {t:.4f}: err {float(state.err):.6e}")
             if callback is not None:
                 callback(t, x, state)
             x = next_x
             t += cfg.dt
-        return (np.asarray(ts), np.stack(xs), np.stack(us), np.asarray(errs))
+        out = (np.asarray(ts), np.stack(xs), np.stack(us), np.asarray(errs))
+        if dump_prefix is not None:
+            from nmpc_tpu.utils.trace import dump_cgmres_data
+
+            dump_cgmres_data(*out, prefix=dump_prefix,
+                             dump_step=cfg.dump_step,
+                             log_dt=cfg.dt * cfg.dump_step)
+        return out
 
 
 # --------------------------------------------------------------------------

@@ -461,6 +461,22 @@ def _solve(problem: Problem, config: DDPConfig, t0, x0, us_init) -> DDPResult:
             jnp.int32(DDPStatus.MAX_ITER_REACHED), status,
         )
 
+        # print_level diagnostics (reference DDPSolver.hpp:106-109,198-207)
+        from nmpc_tpu.utils.logging import log, log_when
+
+        log(config.print_level, 3,
+            "[DDP] iter {it}: cost {cost:.6e} lambda {lam:.3e} "
+            "alpha {alpha:.3e} k_rel_norm {krn:.3e}",
+            it=it, cost=jnp.sum(costs), lam=lam, alpha=alphas[idx],
+            krn=k_rel_norm)
+        log_when(config.print_level, 1, bw_failed,
+                 "[DDP/Warning] Failure in backward pass: lambda exceeded "
+                 "lambda_max (iter {it})", it=it)
+        log_when(config.print_level, 1,
+                 status == DDPStatus.FAIL_FORWARD_LAMBDA,
+                 "[DDP/Warning] Failure in forward pass: lambda exceeded "
+                 "lambda_max (iter {it})", it=it)
+
         return _SolveState(
             it=it, status=status, xs=xs, us=us, costs=costs,
             ks=ks, Ks=Ks, lam=lam, dlam=dlam, trace=tr,

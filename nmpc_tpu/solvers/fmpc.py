@@ -587,6 +587,19 @@ def _solve(problem: Problem, config: FmpcConfig, t0, x0,
         ks_out = jnp.where(bw_good & ~succeeded, ks, s.ks)
         Ks_out = jnp.where(bw_good & ~succeeded, Ks, s.Ks)
 
+        # print_level diagnostics (reference FmpcSolver.h:60-61 gate)
+        from nmpc_tpu.utils.logging import log, log_when
+
+        log(config.print_level, 3,
+            "[FMPC] iter {it}: kkt_error {kkt:.6e} barrier_eps {eps:.3e}",
+            it=it, kkt=kkt, eps=eps)
+        log_when(config.print_level, 1, ~bw_good,
+                 "[FMPC/Warning] Error in backward pass (iter {it})", it=it)
+        log_when(config.print_level, 1, ~fw_finite,
+                 "[FMPC/Warning] Error in forward pass (iter {it})", it=it)
+        log_when(config.print_level, 1, ~up_ok,
+                 "[FMPC/Warning] Error in update (iter {it})", it=it)
+
         return _State(it=it, status=status, var=var_out, kkt=kkt,
                       ks=ks_out, Ks=Ks_out, eps=eps, trace_kkt=trace_kkt)
 

@@ -71,6 +71,45 @@ def _fmt(v):
     return repr(float(v))
 
 
+def dump_cgmres_data(ts, xs, us, errs, prefix: str = "/tmp/cgmres",
+                     dump_step: int = 1, log_dt: float = None,
+                     param: dict = None):
+    """Stream a C/GMRES closed-loop history to ``{prefix}_{x,u,err}.dat``
+    plus a JSON ``{prefix}_param.dat`` — the reference's file layout
+    (``CgmresSolver::run``, ``CgmresSolver.cpp:68-103``: rows are
+    ``t, v1, v2, ...``), consumable by its ``plotCgmresData.py``."""
+    import json
+
+    ts = np.asarray(ts)[::max(dump_step, 1)]
+    rows = {
+        "x": np.asarray(xs)[::max(dump_step, 1)],
+        "u": np.asarray(us)[::max(dump_step, 1)],
+        "err": np.asarray(errs)[::max(dump_step, 1)].reshape(len(ts), -1),
+    }
+    for name, vals in rows.items():
+        with open(f"{prefix}_{name}.dat", "w") as f:
+            for t, v in zip(ts, vals):
+                f.write(", ".join([repr(float(t))]
+                                  + [repr(float(x)) for x in np.ravel(v)])
+                        + "\n")
+    p = dict(param or {})
+    if log_dt is not None:
+        p.setdefault("log_dt", log_dt)
+    with open(f"{prefix}_param.dat", "w") as f:
+        json.dump(p, f, indent=1)
+        f.write("\n")
+
+
+def load_cgmres_data(prefix: str = "/tmp/cgmres"):
+    """Load ``{prefix}_{x,u,err}.dat`` back as (ts, xs, us, errs)."""
+    out = []
+    for name in ("x", "u", "err"):
+        data = np.loadtxt(f"{prefix}_{name}.dat", delimiter=",", ndmin=2)
+        out.append(data)
+    ts = out[0][:, 0]
+    return ts, out[0][:, 1:], out[1][:, 1:], out[2][:, 1:].squeeze(-1)
+
+
 def load_trace(file_path: str) -> dict:
     """Load a dumped trace table back into {column: np.ndarray}."""
     with open(file_path) as f:

@@ -83,3 +83,49 @@ def test_trace_dump_roundtrip(tmp_path):
         "duration_derivative", "duration_backward", "duration_forward"]
     assert data["iter"].shape[0] == int(res.iters) + 1
     assert data["cost"][0] == pytest.approx(float(res.trace.cost[0]))
+
+
+def test_print_level_gated_logging(capfd):
+    """print_level=3 streams per-iteration diagnostics (reference
+    DDPSolver.h:62-63 gate); the default 0 compiles to silence."""
+    problem = make_cartpole_problem(0.01)
+    x0 = jnp.array([0.0, np.pi, 0.0, 0.0])
+    us0 = jnp.zeros((10, 1))
+
+    quiet = DDPSolver(problem, DDPConfig(horizon_steps=10, max_iter=3))
+    quiet.solve(0.0, x0, us0)
+    out = capfd.readouterr().out
+    assert "[DDP]" not in out
+
+    loud = DDPSolver(problem, DDPConfig(horizon_steps=10, max_iter=3,
+                                        print_level=3))
+    res = loud.solve(0.0, x0, us0)
+    import jax
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "[DDP] iter 1:" in out and "lambda" in out
+    assert out.count("[DDP] iter") == int(res.iters)
+
+
+def test_cgmres_dump_roundtrip(tmp_path):
+    """C/GMRES /tmp-dump file layout (CgmresSolver.cpp:68-103)."""
+    import json
+
+    from nmpc_tpu.utils.trace import dump_cgmres_data, load_cgmres_data
+
+    n = 7
+    ts = np.linspace(0.0, 0.006, n)
+    xs = np.random.default_rng(0).normal(size=(n, 2))
+    us = np.random.default_rng(1).normal(size=(n, 3))
+    errs = np.abs(np.random.default_rng(2).normal(size=n))
+    prefix = os.path.join(tmp_path, "cgmres")
+    dump_cgmres_data(ts, xs, us, errs, prefix=prefix, log_dt=0.001,
+                     param={"dim_x": 2})
+    ts2, xs2, us2, errs2 = load_cgmres_data(prefix)
+    np.testing.assert_allclose(ts2, ts)
+    np.testing.assert_allclose(xs2, xs)
+    np.testing.assert_allclose(us2, us)
+    np.testing.assert_allclose(errs2, errs)
+    with open(prefix + "_param.dat") as f:
+        p = json.load(f)
+    assert p == {"dim_x": 2, "log_dt": 0.001}
