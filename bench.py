@@ -5,13 +5,18 @@ BASELINE.md target: >= 10,000 batched DDP cart-pole solves/s/chip
 algorithm (golden-parity enforced separately in tests/).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing methodology (benchmarks/timing.py): queue repetitions back-to-back
+and fence on a VALUE FETCH from the last output, subtracting the measured
+host<->device round trip.  ``jax.block_until_ready`` is not a reliable
+execution fence through this environment's device tunnel (it acknowledges
+dispatch, not completion) — naive timing loops built on it were off by
+large factors in both directions.
 """
 
 import json
-import time
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from nmpc_tpu import DDPConfig, DDPSolver
@@ -21,6 +26,8 @@ BASELINE_SOLVES_PER_S = 10_000.0
 
 
 def main():
+    from benchmarks.timing import device_time_min
+
     # BASELINE.json config #1: cart-pole swing-up, horizon 100.
     problem = make_cartpole_problem(0.01)
     config = DDPConfig(horizon_steps=100, max_iter=10)
@@ -35,21 +42,8 @@ def main():
     us0 = jnp.zeros((B, 100, 1), jnp.float32)
     t0 = jnp.float32(0.0)
 
-    # warmup / compile
-    for _ in range(3):
-        res = solver.solve_batch(t0, x0s, us0)
-        jax.block_until_ready(res)
-
-    # Queue all reps, sync once: per-call host sync pays a ~20 ms tunnel
-    # round-trip in this environment and would understate device throughput.
-    n_rep = 5
-    start = time.perf_counter()
-    for _ in range(n_rep):
-        res = solver.solve_batch(t0, x0s, us0)
-    jax.block_until_ready(res)
-    elapsed = time.perf_counter() - start
-
-    solves_per_s = B * n_rep / elapsed
+    t = device_time_min(solver.solve_batch, t0, x0s, us0, reps=6, trials=3)
+    solves_per_s = B / t
     print(json.dumps({
         "metric": "ddp_cartpole_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),

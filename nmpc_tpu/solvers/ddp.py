@@ -537,37 +537,91 @@ def _rollout_stacked(problem, config, t0, x0s, us):
     return unblock_lanes(xs_l, 0), unblock_lanes(costs_l, 0)
 
 
-def _forward_all_alphas_stacked(problem, config, t0, xs, us, ks, Ks):
-    """Line-search forward pass with (alpha x batch) lane-blocked.
+def _forward_linesearch_costs_stacked(problem, config, t0, xs, us, ks, Ks):
+    """Cost-only line-search rollout, all alphas at once (TPU redesign of
+    the reference's serial alpha loop, ``DDPSolver.hpp:242-265,537-560``).
+
+    Alpha lives on a small LEADING axis of the scan carry, so the per-stage
+    references (x_ref, u_ref, k, K) are streamed from HBM once — not
+    materialized ``A = len(alpha_list)`` times — and nothing per-stage is
+    written back: the scan carries only (x [A,nx,S,L], cost_acc [A,S,L]).
+    The accepted trajectory is re-rolled once by
+    :func:`_forward_selected_stacked` (bitwise-identical lane math).
 
     xs [B, N+1, nx], us/ks [B, N, nu], Ks [B, N, nu, nx].
-    Returns cand_(xs, us, costs) with axes [B, A, ...] like
-    vmap(_forward_all_alphas)."""
+    Returns per-alpha total costs [B, A].
+    """
     from nmpc_tpu.kernels.lanes import (block_lanes, lane_factors,
                                         unblock_lanes, vmap_lanes)
 
     B = xs.shape[0]
     N = config.horizon_steps
-    nx, nu = problem.state_dim, problem.input_dim
     dtype = xs.dtype
     alphas = jnp.asarray(config.alpha_list, dtype)
     A = alphas.shape[0]
-    AB = A * B
-    S, L = lane_factors(AB)
+    S, L = lane_factors(B)
     ts = t0 + problem.dt * jnp.arange(N, dtype=dtype)
 
-    def expand(a):  # [B, N?, d...] -> [N?, d..., S, L] broadcast over alphas
-        a = jnp.broadcast_to(a[None], (A,) + a.shape)
-        a = a.reshape((AB,) + a.shape[2:])
-        return block_lanes(a, 0, S, L)
+    bl = lambda a: block_lanes(a, 0, S, L)
+    xref = bl(xs[:, :-1])       # [N, nx, S, L]
+    uref = bl(us)               # [N, nu, S, L]
+    k_l = bl(ks)                # [N, nu, S, L]
+    K_l = bl(Ks)                # [N, nu, nx, S, L]
+    x0_l = bl(xs[:, 0])         # [nx, S, L]
 
-    xref = expand(xs[:, :-1])       # [N, nx, S, L]
-    uref = expand(us)               # [N, nu, S, L]
-    k_l = expand(ks)                # [N, nu, S, L]
-    K_l = expand(Ks)                # [N, nu, nx, S, L]
-    x0_l = expand(xs[:, 0])         # [nx, S, L]
-    alpha_l = block_lanes(
-        jnp.repeat(alphas, B), 0, S, L)          # [S, L]
+    dyn2 = vmap_lanes(problem.dynamics, 2)
+    cost2 = vmap_lanes(problem.running_cost, 2)
+    term2 = vmap_lanes(problem.terminal_cost, 1)
+    # extra vmap over the leading alpha axis of (x, u)
+    dyn3 = jax.vmap(dyn2, in_axes=(None, 0, 0))
+    cost3 = jax.vmap(cost2, in_axes=(None, 0, 0))
+    term3 = jax.vmap(term2, in_axes=(None, 0))
+
+    a_bc = alphas[:, None, None, None]          # [A, 1, 1, 1]
+
+    def step(carry, inp):
+        x, ctot = carry                         # [A, nx, S, L], [A, S, L]
+        t, xr, ur, k, K = inp
+        dx = x - xr[None]                       # [A, nx, S, L]
+        u = (ur[None] + a_bc * k[None]
+             + jnp.sum(K[None] * dx[:, None], axis=2))   # [A, nu, S, L]
+        xn = dyn3(t, x, u)
+        c = cost3(t, x, u)
+        return (xn, ctot + c), None
+
+    x0A = jnp.broadcast_to(x0_l[None], (A,) + x0_l.shape)
+    # accumulator dtype follows the cost function (it may promote, e.g.
+    # fp32 states with fp64 weights under x64)
+    cdtype = jax.eval_shape(
+        problem.running_cost, ts[0], xs[0, 0], us[0, 0]).dtype
+    ct0 = jnp.zeros((A, S, L), cdtype)
+    (xN, ctot), _ = lax.scan(step, (x0A, ct0), (ts, xref, uref, k_l, K_l))
+    ctot = ctot + term3(t0 + N * problem.dt, xN)         # [A, S, L]
+    return unblock_lanes(ctot, 0)                        # [B, A]
+
+
+def _forward_selected_stacked(problem, config, t0, xs, us, ks, Ks, alpha_sel):
+    """Roll out the per-lane selected alpha once, producing the new
+    trajectory and per-stage costs (``DDPSolver.hpp:537-560``).
+
+    alpha_sel [B].  Returns (xs [B,N+1,nx], us [B,N,nu], costs [B,N+1]).
+    """
+    from nmpc_tpu.kernels.lanes import (block_lanes, lane_factors,
+                                        unblock_lanes, vmap_lanes)
+
+    B = xs.shape[0]
+    N = config.horizon_steps
+    dtype = xs.dtype
+    S, L = lane_factors(B)
+    ts = t0 + problem.dt * jnp.arange(N, dtype=dtype)
+
+    bl = lambda a: block_lanes(a, 0, S, L)
+    xref = bl(xs[:, :-1])
+    uref = bl(us)
+    k_l = bl(ks)
+    K_l = bl(Ks)
+    x0_l = bl(xs[:, 0])
+    alpha_l = bl(alpha_sel)                     # [S, L]
 
     dyn2 = vmap_lanes(problem.dynamics, 2)
     cost2 = vmap_lanes(problem.running_cost, 2)
@@ -585,13 +639,8 @@ def _forward_all_alphas_stacked(problem, config, t0, xs, us, ks, Ks):
     c_term = term2(t0 + N * problem.dt, xN)
     xs_all = jnp.concatenate([x0_l[None], xs_tail], axis=0)
     costs_all = jnp.concatenate([cs, c_term[None]], axis=0)
-
-    def collapse(a_l, lead):  # [N?, d..., S, L] -> [B, A, N?, d...]
-        a = unblock_lanes(a_l, 0)                  # [AB, N?, d...]
-        a = a.reshape((A, B) + a.shape[1:])
-        return jnp.swapaxes(a, 0, 1)
-
-    return (collapse(xs_all, 2), collapse(us_new, 2), collapse(costs_all, 1))
+    return (unblock_lanes(xs_all, 0), unblock_lanes(us_new, 0),
+            unblock_lanes(costs_all, 0))
 
 
 def _bwhere(mask, new, old):
@@ -680,13 +729,18 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
     B = x0s.shape[0]
     N = config.horizon_steps
     nx, nu = problem.state_dim, problem.input_dim
+    assert us_init.shape == (B, N, nu), (
+        f"initial_u_list must have shape {(B, N, nu)}, got {us_init.shape}"
+    )
     n_trace = config.max_iter + 1
     alphas = jnp.asarray(config.alpha_list, dtype)
     A = len(config.alpha_list)
 
     v_derivs = jax.vmap(functools.partial(_derivative_sweep, problem, config),
                         in_axes=(None, 0, 0))
-    v_forward = functools.partial(_forward_all_alphas_stacked, problem, config)
+    v_forward_costs = functools.partial(
+        _forward_linesearch_costs_stacked, problem, config)
+    v_forward_sel = functools.partial(_forward_selected_stacked, problem, config)
 
     xs, costs = _rollout_stacked(problem, config, t0, x0s, us_init)
 
@@ -758,10 +812,11 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                      & (lam < config.lambda_thre))
         status = jnp.where(term_grad, jnp.int32(DDPStatus.SUCCEEDED), status)
 
-        # Step 3: forward, all alphas (cand_* have axes [B, A, ...]).
-        cand_xs, cand_us, cand_costs = v_forward(t0, s.xs, s.us, ks, Ks)
+        # Step 3: forward line search — cost-only rollout of all alphas
+        # (alpha on a small leading axis; per-stage refs streamed once),
+        # then ONE re-rollout of the per-lane accepted alpha.
+        cand_sums = v_forward_costs(t0, s.xs, s.us, ks, Ks)        # [B, A]
         cost_old = jnp.sum(s.costs, axis=-1)                       # [B]
-        cand_sums = jnp.sum(cand_costs, axis=-1)                   # [B, A]
         actual = cost_old[:, None] - cand_sums                     # [B, A]
         expected = -alphas[None, :] * (dV[:, 0:1] + alphas[None, :] * dV[:, 1:2])
         ratio = jnp.where(expected < 0,
@@ -775,11 +830,8 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
         do_forward = running & ~bw_failed & ~term_grad
         accept = do_forward & fw_success
 
-        def take(c):  # [B, A, ...] -> [B, ...] at per-lane idx
-            ix = idx.reshape((B,) + (1,) * (c.ndim - 1))
-            return jnp.take_along_axis(c, ix, axis=1)[:, 0]
-
-        sel_xs, sel_us, sel_costs = take(cand_xs), take(cand_us), take(cand_costs)
+        sel_xs, sel_us, sel_costs = v_forward_sel(
+            t0, s.xs, s.us, ks, Ks, alphas[idx])
         xs = _bwhere(accept, sel_xs, s.xs)
         us = _bwhere(accept, sel_us, s.us)
         costs = _bwhere(accept, sel_costs, s.costs)
