@@ -504,21 +504,15 @@ def _solve(problem: Problem, config: DDPConfig, t0, x0, us_init) -> DDPResult:
 # --------------------------------------------------------------------------
 
 
-def _rollout_stacked(problem, config, t0, x0s, us):
-    """Initial rollout with lane-blocked batch: x0s [B, nx], us [B, N, nu]
-    -> (xs [B, N+1, nx], costs [B, N+1]).  User dynamics/cost are
+def _rollout_lanes(problem, config, t0, x_l, us_l):
+    """Initial rollout, lane-blocked: x_l [nx, S, L], us_l [N, nu, S, L]
+    -> (xs_l [N+1, nx, S, L], costs_l [N+1, S, L]).  User dynamics/cost are
     double-vmapped over (S, 128) lane blocks (kernels/lanes.py)."""
-    from nmpc_tpu.kernels.lanes import (block_lanes, lane_factors,
-                                        unblock_lanes, vmap_lanes)
+    from nmpc_tpu.kernels.lanes import vmap_lanes
 
-    B = x0s.shape[0]
     N = config.horizon_steps
-    dtype = x0s.dtype
-    S, L = lane_factors(B)
+    dtype = x_l.dtype
     ts = t0 + problem.dt * jnp.arange(N, dtype=dtype)
-
-    x_l = block_lanes(x0s, 0, S, L)          # [nx, S, L]
-    us_l = block_lanes(us, 0, S, L)          # [N, nu, S, L]
 
     dyn2 = vmap_lanes(problem.dynamics, 2)
     cost2 = vmap_lanes(problem.running_cost, 2)
@@ -534,10 +528,38 @@ def _rollout_stacked(problem, config, t0, x0s, us):
     c_term = term2(t0 + N * problem.dt, xN)
     xs_l = jnp.concatenate([x_l[None], xs_tail], axis=0)   # [N+1, nx, S, L]
     costs_l = jnp.concatenate([cs, c_term[None]], axis=0)  # [N+1, S, L]
+    return xs_l, costs_l
+
+
+def _rollout_stacked(problem, config, t0, x0s, us):
+    """Batch-first wrapper of :func:`_rollout_lanes`: x0s [B, nx],
+    us [B, N, nu] -> (xs [B, N+1, nx], costs [B, N+1])."""
+    from nmpc_tpu.kernels.lanes import block_lanes, lane_factors, unblock_lanes
+
+    S, L = lane_factors(x0s.shape[0])
+    xs_l, costs_l = _rollout_lanes(problem, config, t0,
+                                   block_lanes(x0s, 0, S, L),
+                                   block_lanes(us, 0, S, L))
     return unblock_lanes(xs_l, 0), unblock_lanes(costs_l, 0)
 
 
-def _forward_linesearch_costs_stacked(problem, config, t0, xs, us, ks, Ks):
+def _derivative_sweep_lanes(problem, config, t0, xs_l, us_l):
+    """Derivative sweep producing batch-minor stage derivatives natively:
+    every leaf is [N, small_dims..., S, L] — zero layout transposes between
+    the (vmapped autodiff) sweep and the stacked backward kernel.
+    Terminal expansion: (Vx_T [nx, S, L], Vxx_T [nx, nx, S, L])."""
+    from nmpc_tpu.kernels.lanes import vmap_lanes
+
+    N = config.horizon_steps
+    ts = t0 + problem.dt * jnp.arange(N, dtype=xs_l.dtype)
+    f2 = vmap_lanes(lambda t, x, u: _stage_derivs(problem, config, t, x, u), 2)
+    D = jax.vmap(f2, in_axes=(0, 0, 0))(ts, xs_l[:-1], us_l)
+    term2 = vmap_lanes(problem.quadraticize_terminal_cost, 1)
+    Vx_T, Vxx_T = term2(t0 + N * problem.dt, xs_l[-1])
+    return D, Vx_T, Vxx_T
+
+
+def _forward_costs_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l):
     """Cost-only line-search rollout, all alphas at once (TPU redesign of
     the reference's serial alpha loop, ``DDPSolver.hpp:242-265,537-560``).
 
@@ -546,28 +568,19 @@ def _forward_linesearch_costs_stacked(problem, config, t0, xs, us, ks, Ks):
     materialized ``A = len(alpha_list)`` times — and nothing per-stage is
     written back: the scan carries only (x [A,nx,S,L], cost_acc [A,S,L]).
     The accepted trajectory is re-rolled once by
-    :func:`_forward_selected_stacked` (bitwise-identical lane math).
+    :func:`_forward_selected_lanes` (bitwise-identical lane math).
 
-    xs [B, N+1, nx], us/ks [B, N, nu], Ks [B, N, nu, nx].
-    Returns per-alpha total costs [B, A].
+    xs_l [N+1, nx, S, L], us_l/ks_l [N, nu, S, L], Ks_l [N, nu, nx, S, L].
+    Returns per-alpha total costs [A, S, L].
     """
-    from nmpc_tpu.kernels.lanes import (block_lanes, lane_factors,
-                                        unblock_lanes, vmap_lanes)
+    from nmpc_tpu.kernels.lanes import vmap_lanes
 
-    B = xs.shape[0]
     N = config.horizon_steps
-    dtype = xs.dtype
+    dtype = xs_l.dtype
+    S, L = xs_l.shape[-2:]
     alphas = jnp.asarray(config.alpha_list, dtype)
     A = alphas.shape[0]
-    S, L = lane_factors(B)
     ts = t0 + problem.dt * jnp.arange(N, dtype=dtype)
-
-    bl = lambda a: block_lanes(a, 0, S, L)
-    xref = bl(xs[:, :-1])       # [N, nx, S, L]
-    uref = bl(us)               # [N, nu, S, L]
-    k_l = bl(ks)                # [N, nu, S, L]
-    K_l = bl(Ks)                # [N, nu, nx, S, L]
-    x0_l = bl(xs[:, 0])         # [nx, S, L]
 
     dyn2 = vmap_lanes(problem.dynamics, 2)
     cost2 = vmap_lanes(problem.running_cost, 2)
@@ -589,39 +602,30 @@ def _forward_linesearch_costs_stacked(problem, config, t0, xs, us, ks, Ks):
         c = cost3(t, x, u)
         return (xn, ctot + c), None
 
-    x0A = jnp.broadcast_to(x0_l[None], (A,) + x0_l.shape)
+    x0A = jnp.broadcast_to(xs_l[0][None], (A,) + xs_l[0].shape)
     # accumulator dtype follows the cost function (it may promote, e.g.
     # fp32 states with fp64 weights under x64)
     cdtype = jax.eval_shape(
-        problem.running_cost, ts[0], xs[0, 0], us[0, 0]).dtype
+        problem.running_cost, ts[0], xs_l[0, :, 0, 0], us_l[0, :, 0, 0]).dtype
     ct0 = jnp.zeros((A, S, L), cdtype)
-    (xN, ctot), _ = lax.scan(step, (x0A, ct0), (ts, xref, uref, k_l, K_l))
-    ctot = ctot + term3(t0 + N * problem.dt, xN)         # [A, S, L]
-    return unblock_lanes(ctot, 0)                        # [B, A]
+    (xN, ctot), _ = lax.scan(
+        step, (x0A, ct0), (ts, xs_l[:-1], us_l, ks_l, Ks_l))
+    return ctot + term3(t0 + N * problem.dt, xN)         # [A, S, L]
 
 
-def _forward_selected_stacked(problem, config, t0, xs, us, ks, Ks, alpha_sel):
+def _forward_selected_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l,
+                            alpha_l):
     """Roll out the per-lane selected alpha once, producing the new
     trajectory and per-stage costs (``DDPSolver.hpp:537-560``).
 
-    alpha_sel [B].  Returns (xs [B,N+1,nx], us [B,N,nu], costs [B,N+1]).
+    alpha_l [S, L].  Returns (xs_l [N+1,nx,S,L], us_l [N,nu,S,L],
+    costs_l [N+1,S,L]).
     """
-    from nmpc_tpu.kernels.lanes import (block_lanes, lane_factors,
-                                        unblock_lanes, vmap_lanes)
+    from nmpc_tpu.kernels.lanes import vmap_lanes
 
-    B = xs.shape[0]
     N = config.horizon_steps
-    dtype = xs.dtype
-    S, L = lane_factors(B)
+    dtype = xs_l.dtype
     ts = t0 + problem.dt * jnp.arange(N, dtype=dtype)
-
-    bl = lambda a: block_lanes(a, 0, S, L)
-    xref = bl(xs[:, :-1])
-    uref = bl(us)
-    k_l = bl(ks)
-    K_l = bl(Ks)
-    x0_l = bl(xs[:, 0])
-    alpha_l = bl(alpha_sel)                     # [S, L]
 
     dyn2 = vmap_lanes(problem.dynamics, 2)
     cost2 = vmap_lanes(problem.running_cost, 2)
@@ -635,17 +639,12 @@ def _forward_selected_stacked(problem, config, t0, xs, us, ks, Ks, alpha_sel):
         c = cost2(t, x, u)
         return xn, (xn, u, c)
 
-    xN, (xs_tail, us_new, cs) = lax.scan(step, x0_l, (ts, xref, uref, k_l, K_l))
+    xN, (xs_tail, us_new, cs) = lax.scan(
+        step, xs_l[0], (ts, xs_l[:-1], us_l, ks_l, Ks_l))
     c_term = term2(t0 + N * problem.dt, xN)
-    xs_all = jnp.concatenate([x0_l[None], xs_tail], axis=0)
+    xs_all = jnp.concatenate([xs_l[0][None], xs_tail], axis=0)
     costs_all = jnp.concatenate([cs, c_term[None]], axis=0)
-    return (unblock_lanes(xs_all, 0), unblock_lanes(us_new, 0),
-            unblock_lanes(costs_all, 0))
-
-
-def _bwhere(mask, new, old):
-    """where with a [B] lane mask broadcast against [B, ...] arrays."""
-    return jnp.where(mask.reshape(mask.shape + (1,) * (new.ndim - 1)), new, old)
+    return xs_all, us_new, costs_all
 
 
 def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
@@ -707,21 +706,26 @@ class _StackedState(NamedTuple):
     it: jnp.ndarray
     iters: jnp.ndarray    # [B] per-lane iteration count
     status: jnp.ndarray   # [B]
-    xs: jnp.ndarray       # [B, N+1, nx]
-    us: jnp.ndarray       # [B, N, nu]
-    costs: jnp.ndarray    # [B, N+1]
-    ks: jnp.ndarray       # [B, N, nu]
-    Ks: jnp.ndarray       # [B, N, nu, nx]
+    xs: jnp.ndarray       # [N+1, nx, S, L] lane-blocked
+    us: jnp.ndarray       # [N, nu, S, L]
+    costs: jnp.ndarray    # [N+1, S, L]
+    ks: jnp.ndarray       # [N, nu, S, L]
+    Ks: jnp.ndarray       # [N, nu, nx, S, L]
     lam: jnp.ndarray      # [B]
     dlam: jnp.ndarray     # [B]
     trace: DDPTrace       # arrays [B, max_iter+1]
 
 
 def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDPResult:
-    """Natively-batched DDP solve: public layout batch-first, backward pass
-    batch-minor (kernels/ddp_backward.py).  Per-lane control flow reproduces
-    ``_solve``-under-vmap exactly (tested)."""
-    from nmpc_tpu.kernels.ddp_backward import StackedBounds, stack_derivs
+    """Natively-batched DDP solve.  Public layout is batch-first; internally
+    EVERYTHING is lane-blocked [..., S, L] end-to-end — rollout, derivative
+    sweep, backward kernel (trailing lanes merged to a flat batch axis for
+    kernels/ddp_backward.py, a free reshape), and both forward passes — so
+    no layout transpose occurs anywhere inside the iteration loop.
+    Per-lane control flow reproduces ``_solve``-under-vmap exactly (tested).
+    """
+    from nmpc_tpu.kernels.ddp_backward import StackedBounds, StackedDerivs
+    from nmpc_tpu.kernels.lanes import block_lanes, lane_factors, unblock_lanes
 
     assert not config.use_state_eq_second_derivative
     dtype = x0s.dtype
@@ -735,14 +739,19 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
     n_trace = config.max_iter + 1
     alphas = jnp.asarray(config.alpha_list, dtype)
     A = len(config.alpha_list)
+    S, L = lane_factors(B)
 
-    v_derivs = jax.vmap(functools.partial(_derivative_sweep, problem, config),
-                        in_axes=(None, 0, 0))
-    v_forward_costs = functools.partial(
-        _forward_linesearch_costs_stacked, problem, config)
-    v_forward_sel = functools.partial(_forward_selected_stacked, problem, config)
+    # trailing (S, L) <-> flat B: contiguous merges, free at the XLA level
+    flat = lambda a: a.reshape(a.shape[:-2] + (B,))
+    lanes = lambda a: a.reshape(a.shape[:-1] + (S, L))
 
-    xs, costs = _rollout_stacked(problem, config, t0, x0s, us_init)
+    d_sweep = functools.partial(_derivative_sweep_lanes, problem, config)
+    f_costs = functools.partial(_forward_costs_lanes, problem, config)
+    f_sel = functools.partial(_forward_selected_lanes, problem, config)
+
+    xs, costs = _rollout_lanes(problem, config, t0,
+                               block_lanes(x0s, 0, S, L),
+                               block_lanes(us_init, 0, S, L))
 
     def zeros(shape=()):
         return jnp.zeros(shape, dtype)
@@ -750,7 +759,7 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
     trace = DDPTrace(
         iter=jnp.broadcast_to(jnp.arange(n_trace, dtype=jnp.int32),
                               (B, n_trace)),
-        cost=zeros((B, n_trace)).at[:, 0].set(jnp.sum(costs, axis=-1)),
+        cost=zeros((B, n_trace)).at[:, 0].set(flat(jnp.sum(costs, axis=0))),
         lam=zeros((B, n_trace)).at[:, 0].set(config.initial_lambda),
         dlam=zeros((B, n_trace)).at[:, 0].set(config.initial_dlambda),
         alpha=zeros((B, n_trace)),
@@ -764,8 +773,8 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
         it=jnp.int32(0),
         iters=jnp.zeros((B,), jnp.int32),
         status=jnp.full((B,), DDPStatus.RUNNING, jnp.int32),
-        xs=xs, us=us_init, costs=costs,
-        ks=zeros((B, N, nu)), Ks=zeros((B, N, nu, nx)),
+        xs=xs, us=block_lanes(us_init, 0, S, L), costs=costs,
+        ks=zeros((N, nu, S, L)), Ks=zeros((N, nu, nx, S, L)),
         lam=jnp.full((B,), config.initial_lambda, dtype),
         dlam=jnp.full((B,), config.initial_dlambda, dtype),
         trace=trace,
@@ -776,28 +785,25 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
 
     def body(s: _StackedState):
         it = s.it + 1
-        running = s.status == DDPStatus.RUNNING
+        running = s.status == DDPStatus.RUNNING          # [B]
+        run_sl = lanes(running)                          # [S, L]
 
-        # Step 1: derivative sweep (vmapped autodiff).
-        D, VxT, VxxT = v_derivs(t0, s.xs, s.us)
-        Dst = stack_derivs(D.Fx, D.Fu, D.Lx, D.Lu, D.Lxx, D.Luu, D.Lxu)
-        VxT_s = jnp.moveaxis(VxT, 0, -1)
-        VxxT_s = jnp.moveaxis(VxxT, 0, -1)
-        ks0_s = jnp.moveaxis(s.ks, 0, -1)
-        Ks0_s = jnp.moveaxis(s.Ks, 0, -1)
+        # Step 1: derivative sweep (vmapped autodiff, batch-minor output).
+        D, VxT, VxxT = d_sweep(t0, s.xs, s.us)
+        Dst = StackedDerivs(Fx=flat(D.Fx), Fu=flat(D.Fu), Lx=flat(D.Lx),
+                            Lu=flat(D.Lu), Lxx=flat(D.Lxx), Luu=flat(D.Luu),
+                            Lxu=flat(D.Lxu))
         bounds = None
         if config.with_input_constraint:
-            mv = lambda a: jnp.moveaxis(a, 0, -1)
-            bounds = StackedBounds(lower=mv(D.lower), upper=mv(D.upper),
-                                   u=mv(D.u))
+            bounds = StackedBounds(lower=flat(D.lower), upper=flat(D.upper),
+                                   u=flat(D.u))
 
-        # Step 2: backward with per-lane lambda retry.
-        lam, dlam, ks_s, Ks_s, dV_s, bw_failed = _backward_retry_stacked(
-            config, Dst, VxT_s, VxxT_s, s.lam, s.dlam, ks0_s, Ks0_s, running,
-            bounds=bounds)
-        ks = jnp.moveaxis(ks_s, -1, 0)       # [B, N, nu]
-        Ks = jnp.moveaxis(Ks_s, -1, 0)       # [B, N, nu, nx]
-        dV = jnp.moveaxis(dV_s, -1, 0)       # [B, 2]
+        # Step 2: backward with per-lane lambda retry (flat-B batch-minor).
+        lam, dlam, ks_f, Ks_f, dV, bw_failed = _backward_retry_stacked(
+            config, Dst, flat(VxT), flat(VxxT), s.lam, s.dlam,
+            flat(s.ks), flat(s.Ks), running, bounds=bounds)
+        ks = lanes(ks_f)                     # [N, nu, S, L]
+        Ks = lanes(Ks_f)                     # [N, nu, nx, S, L]
 
         status = jnp.where(bw_failed & running,
                            jnp.int32(DDPStatus.FAIL_BACKWARD_LAMBDA),
@@ -805,8 +811,8 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
 
         # small-gradient termination
         k_rel_norm = jnp.max(
-            jnp.linalg.norm(ks, axis=-1)
-            / (jnp.linalg.norm(s.us, axis=-1) + 1.0), axis=-1)    # [B]
+            jnp.sqrt(jnp.sum(ks_f**2, axis=1))
+            / (jnp.sqrt(jnp.sum(flat(s.us)**2, axis=1)) + 1.0), axis=0)  # [B]
         term_grad = (running & ~bw_failed
                      & (k_rel_norm < config.k_rel_norm_thre)
                      & (lam < config.lambda_thre))
@@ -815,30 +821,33 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
         # Step 3: forward line search — cost-only rollout of all alphas
         # (alpha on a small leading axis; per-stage refs streamed once),
         # then ONE re-rollout of the per-lane accepted alpha.
-        cand_sums = v_forward_costs(t0, s.xs, s.us, ks, Ks)        # [B, A]
-        cost_old = jnp.sum(s.costs, axis=-1)                       # [B]
-        actual = cost_old[:, None] - cand_sums                     # [B, A]
-        expected = -alphas[None, :] * (dV[:, 0:1] + alphas[None, :] * dV[:, 1:2])
+        cand_sums = flat(f_costs(t0, s.xs, s.us, ks, Ks))          # [A, B]
+        cost_old = flat(jnp.sum(s.costs, axis=0))                  # [B]
+        actual = cost_old[None, :] - cand_sums                     # [A, B]
+        expected = -alphas[:, None] * (dV[0][None, :]
+                                       + alphas[:, None] * dV[1][None, :])
         ratio = jnp.where(expected < 0,
                           jnp.where(actual >= 0, 1.0, -1.0),
                           actual / expected)
-        accept_mask = ratio > config.cost_update_ratio_thre        # [B, A]
-        fw_success = jnp.any(accept_mask, axis=-1)                 # [B]
-        first_idx = jnp.argmax(accept_mask, axis=-1)
+        accept_mask = ratio > config.cost_update_ratio_thre        # [A, B]
+        fw_success = jnp.any(accept_mask, axis=0)                  # [B]
+        first_idx = jnp.argmax(accept_mask, axis=0)
         idx = jnp.where(fw_success, first_idx, A - 1)              # [B]
 
         do_forward = running & ~bw_failed & ~term_grad
         accept = do_forward & fw_success
+        acc_sl = lanes(accept)                                     # [S, L]
 
-        sel_xs, sel_us, sel_costs = v_forward_sel(
-            t0, s.xs, s.us, ks, Ks, alphas[idx])
-        xs = _bwhere(accept, sel_xs, s.xs)
-        us = _bwhere(accept, sel_us, s.us)
-        costs = _bwhere(accept, sel_costs, s.costs)
+        sel_xs, sel_us, sel_costs = f_sel(
+            t0, s.xs, s.us, ks, Ks, lanes(alphas[idx]))
+        xs = jnp.where(acc_sl, sel_xs, s.xs)
+        us = jnp.where(acc_sl, sel_us, s.us)
+        costs = jnp.where(acc_sl, sel_costs, s.costs)
 
-        actual_sel = jnp.take_along_axis(actual, idx[:, None], axis=1)[:, 0]
-        expected_sel = jnp.take_along_axis(expected, idx[:, None], axis=1)[:, 0]
-        ratio_sel = jnp.take_along_axis(ratio, idx[:, None], axis=1)[:, 0]
+        sel = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+        actual_sel = sel(actual)
+        expected_sel = sel(expected)
+        ratio_sel = sel(ratio)
 
         term_cost = accept & (actual_sel < config.cost_update_thre)
         status = jnp.where(term_cost, jnp.int32(DDPStatus.SUCCEEDED), status)
@@ -855,8 +864,9 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                            jnp.int32(DDPStatus.FAIL_FORWARD_LAMBDA), status)
 
         # gains kept from the last successful backward
-        ks = _bwhere(running & ~bw_failed, ks, s.ks)
-        Ks = _bwhere(running & ~bw_failed, Ks, s.Ks)
+        good_bw = lanes(running & ~bw_failed)
+        ks = jnp.where(good_bw, ks, s.ks)
+        Ks = jnp.where(good_bw, Ks, s.Ks)
 
         # trace row `it` for running lanes
         tr = s.trace
@@ -867,7 +877,7 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
 
         tr = DDPTrace(
             iter=tr.iter,
-            cost=trow(tr.cost, jnp.sum(costs, axis=-1), reached_fwd),
+            cost=trow(tr.cost, flat(jnp.sum(costs, axis=0)), reached_fwd),
             lam=trow(tr.lam, lam, reached_fwd),
             dlam=trow(tr.dlam, dlam, reached_fwd),
             alpha=trow(tr.alpha, alphas[idx], reached_fwd),
@@ -881,27 +891,31 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                            jnp.int32(DDPStatus.MAX_ITER_REACHED), status)
 
         # freeze non-running lanes wholesale
-        new = _StackedState(it=it, iters=jnp.where(running, s.iters + 1, s.iters),
-                            status=status, xs=xs, us=us, costs=costs,
-                            ks=ks, Ks=Ks, lam=lam, dlam=dlam, trace=tr)
-        frozen = jax.tree_util.tree_map(
-            lambda n_, o_: (_bwhere(running, n_, o_)
-                            if getattr(n_, "ndim", 0) > 0 and n_.shape[:1] == (B,)
-                            else n_),
-            new, s)
-        return frozen
+        fz = lambda n_, o_: jnp.where(run_sl, n_, o_)      # trailing (S, L)
+        fzb = lambda n_, o_: jnp.where(running, n_, o_)    # [B]
+        return _StackedState(
+            it=it,
+            iters=jnp.where(running, s.iters + 1, s.iters),
+            status=status,  # status transitions only fire from RUNNING
+            xs=fz(xs, s.xs), us=fz(us, s.us), costs=fz(costs, s.costs),
+            ks=fz(ks, s.ks), Ks=fz(Ks, s.Ks),
+            lam=fzb(lam, s.lam), dlam=fzb(dlam, s.dlam),
+            trace=jax.tree_util.tree_map(
+                lambda n_, o_: jnp.where(running[:, None], n_, o_), tr, s.trace),
+        )
 
     out = lax.while_loop(cond, body, state)
 
+    ub = lambda a: unblock_lanes(a, 0)
     return DDPResult(
         status=out.status,
         success=out.status == DDPStatus.SUCCEEDED,
         iters=out.iters,
-        xs=out.xs,
-        us=out.us,
-        costs=out.costs,
-        ks=out.ks,
-        Ks=out.Ks,
+        xs=ub(out.xs),
+        us=ub(out.us),
+        costs=ub(out.costs),
+        ks=ub(out.ks),
+        Ks=ub(out.Ks),
         lam=out.lam,
         dlam=out.dlam,
         trace=out.trace,
