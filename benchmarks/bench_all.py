@@ -22,14 +22,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(fn, n=5):
-    fn()  # warm
-    fn()
-    start = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / n
+def _timeit(fn, n=6):
+    """Fetch-fenced device time (see benchmarks/timing.py for why
+    ``jax.block_until_ready`` cannot be trusted through the device tunnel)."""
+    from benchmarks.timing import device_time_min
+
+    return device_time_min(fn, reps=n, trials=3)
 
 
 def bench_ddp_cartpole():
@@ -160,14 +158,18 @@ def bench_p99_latency():
     x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
                        + 0.05 * rng.normal(size=(B, 4))).astype(np.float32))
     us0 = jnp.zeros((B, 200, 1), jnp.float32)
+    from benchmarks.timing import fence, measure_rtt
+
     sim = make_closed_loop_batch(solver, n_steps=n_steps)
-    jax.block_until_ready(sim(jnp.float32(0.0), x0s, us0))  # compile
+    fence(sim(jnp.float32(0.0), x0s, us0))  # compile
+    fence(sim(jnp.float32(0.0), x0s, us0))
+    rtt = measure_rtt()
     reps = []
     for _ in range(10):
         start = time.perf_counter()
         out = sim(jnp.float32(0.0), x0s, us0)
-        jax.block_until_ready(out)
-        reps.append((time.perf_counter() - start) / n_steps * 1e3)
+        fence(out)
+        reps.append((time.perf_counter() - start - rtt) / n_steps * 1e3)
     p99 = float(np.percentile(reps, 99))
     return {"metric": "mpc_tick_latency_p99_256_controllers",
             "value": round(p99, 3), "unit": "ms/tick",
