@@ -259,7 +259,7 @@ def _backward_pallas_call(config: DDPConfig, nx, nu, N,
                             memory_space=pltpu.VMEM)
 
     def hbm_spec():
-        return pl.BlockSpec(memory_space=pltpu.ANY)
+        return pl.BlockSpec(memory_space=pl.ANY)
 
     kernel = _make_kernel(config, nx, nu, N, SUB)
     out_shape = (

@@ -81,11 +81,12 @@ def make_cartpole_problem(
 
     def running_cost(t, x, u):
         dx = x - ref_x(t).astype(x.dtype)
-        return 0.5 * jnp.sum(wrx * dx**2) + 0.5 * jnp.sum(wru * u**2)
+        return (0.5 * jnp.sum(wrx.astype(x.dtype) * dx**2)
+                + 0.5 * jnp.sum(wru.astype(u.dtype) * u**2))
 
     def terminal_cost(t, x):
         dx = x - ref_x(t).astype(x.dtype)
-        return 0.5 * jnp.sum(wtx * dx**2)
+        return 0.5 * jnp.sum(wtx.astype(x.dtype) * dx**2)
 
     limits_fn = None
     if input_limits is not None:

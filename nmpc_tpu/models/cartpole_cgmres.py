@@ -52,8 +52,8 @@ def make_cartpole_cgmres_problem(
         u_initial = jnp.asarray([0.0, 1.0, 0.01])
 
         def running_cost(t, x, uc):
-            dx = x - ref_func(t)
-            return 0.5 * (jnp.sum(q * dx**2) + R[0] * uc[0] ** 2) - R[1] * uc[1]
+            dx = x - ref_func(t).astype(x.dtype)
+            return 0.5 * (jnp.sum(q.astype(x.dtype) * dx**2) + R[0] * uc[0] ** 2) - R[1] * uc[1]
 
         def eq_const(t, x, uc):
             return jnp.stack([uc[0] ** 2 + uc[1] ** 2 - F_MAX**2])
@@ -62,14 +62,14 @@ def make_cartpole_cgmres_problem(
         u_initial = jnp.asarray([0.0])
 
         def running_cost(t, x, uc):
-            dx = x - ref_func(t)
-            return 0.5 * (jnp.sum(q * dx**2) + R[0] * uc[0] ** 2)
+            dx = x - ref_func(t).astype(x.dtype)
+            return 0.5 * (jnp.sum(q.astype(x.dtype) * dx**2) + R[0] * uc[0] ** 2)
 
         eq_const = None
 
     def terminal_cost(t, x):
-        dx = x - ref_func(t)
-        return 0.5 * jnp.sum(sf * dx**2)
+        dx = x - ref_func(t).astype(x.dtype)
+        return 0.5 * jnp.sum(sf.astype(x.dtype) * dx**2)
 
     return ContinuousProblem(
         dim_x=4,

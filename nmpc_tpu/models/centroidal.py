@@ -122,7 +122,7 @@ def make_centroidal_problem(
         com = x[:3]
         lin = x[3:6]
         com_dot = lin / MASS
-        lin_dot = R.T @ um - MASS * gvec
+        lin_dot = R.T @ um - MASS * gvec.astype(x.dtype)
         ang_dot = jnp.sum(um[:, None] * jnp.cross(V - com[None, :], R), axis=0)
         return x + dt * jnp.concatenate([com_dot, lin_dot, ang_dot])
 
@@ -132,11 +132,11 @@ def make_centroidal_problem(
 
     def running_cost(t, x, u):
         d = _diff(t, x)
-        return 0.5 * jnp.sum(wx * d**2) + 0.5 * w.running_u * jnp.sum(u**2)
+        return 0.5 * jnp.sum(wx.astype(x.dtype) * d**2) + 0.5 * w.running_u * jnp.sum(u**2)
 
     def terminal_cost(t, x):
         d = _diff(t, x)
-        return 0.5 * jnp.sum(wtx * d**2)
+        return 0.5 * jnp.sum(wtx.astype(x.dtype) * d**2)
 
     return Problem(
         dt=dt,

@@ -74,12 +74,12 @@ def make_vertical_problem(
         dx = x - ref
         # NOTE: inactive (masked) inputs are held at zero by the solver, so
         # the padded quadratic input term equals the variable-dim one.
-        return 0.5 * jnp.sum(wrx * dx**2) + 0.5 * wu * jnp.sum(u**2)
+        return 0.5 * jnp.sum(wrx.astype(x.dtype) * dx**2) + 0.5 * wu * jnp.sum(u**2)
 
     def terminal_cost(t, x):
         ref = jnp.stack([jnp.asarray(ref_pos_func(t), x.dtype), jnp.zeros((), x.dtype)])
         dx = x - ref
-        return 0.5 * jnp.sum(wtx * dx**2)
+        return 0.5 * jnp.sum(wtx.astype(x.dtype) * dx**2)
 
     limits_fn = None
     if with_limits:

@@ -110,13 +110,15 @@ def _rollout(problem: Problem, config: DDPConfig, t0, x0, us):
 
     def step(x, tu):
         t, u = tu
-        xn = problem.dynamics(t, x, u)
-        c = problem.running_cost(t, x, u)
+        # Cast at the user-callback boundary: model constants may be wider
+        # than the solve dtype and must not promote the whole solve.
+        xn = problem.dynamics(t, x, u).astype(x.dtype)
+        c = problem.running_cost(t, x, u).astype(x.dtype)
         return xn, (xn, c)
 
     _, (xs_tail, cs) = lax.scan(step, x0, (ts, us))
     xs = jnp.concatenate([x0[None], xs_tail], axis=0)
-    c_term = problem.terminal_cost(t0 + N * problem.dt, xs[-1])
+    c_term = problem.terminal_cost(t0 + N * problem.dt, xs[-1]).astype(xs.dtype)
     costs = jnp.concatenate([cs, c_term[None]])
     return xs, costs
 
@@ -124,11 +126,15 @@ def _rollout(problem: Problem, config: DDPConfig, t0, x0, us):
 def _stage_derivs(problem: Problem, config: DDPConfig, t, x, u) -> _StageDerivs:
     dtype = x.dtype
     nx, nu = problem.state_dim, problem.input_dim
-    Fx, Fu = problem.linearize_dynamics(t, x, u)
-    Lx, Lu, Lxx, Luu, Lxu = problem.quadraticize_running_cost(t, x, u)
+    # boundary cast: derivatives of fp64-weighted models must enter the
+    # backward pass at the solve dtype
+    Fx, Fu = (a.astype(dtype) for a in problem.linearize_dynamics(t, x, u))
+    Lx, Lu, Lxx, Luu, Lxu = (
+        a.astype(dtype) for a in problem.quadraticize_running_cost(t, x, u))
 
     if config.use_state_eq_second_derivative:
-        Fxx, Fuu, Fxu = problem.second_order_dynamics(t, x, u)
+        Fxx, Fuu, Fxu = (
+            a.astype(dtype) for a in problem.second_order_dynamics(t, x, u))
     else:
         Fxx = jnp.zeros((nx, nx, nx), dtype)
         Fuu = jnp.zeros((nx, nu, nu), dtype)
@@ -170,7 +176,9 @@ def _derivative_sweep(problem, config, t0, xs, us):
     D = jax.vmap(lambda t, x, u: _stage_derivs(problem, config, t, x, u))(
         ts, xs[:-1], us
     )
-    Vx_T, Vxx_T = problem.quadraticize_terminal_cost(t0 + N * problem.dt, xs[-1])
+    Vx_T, Vxx_T = (a.astype(xs.dtype) for a in
+                   problem.quadraticize_terminal_cost(t0 + N * problem.dt,
+                                                      xs[-1]))
     return D, Vx_T, Vxx_T
 
 
@@ -295,13 +303,13 @@ def _forward_all_alphas(problem, config, t0, xs, us, ks, Ks):
         def step(x, inp):
             t, x_ref, u_ref, k, K = inp
             u = u_ref + alpha * k + K @ (x - x_ref)
-            xn = problem.dynamics(t, x, u)
-            c = problem.running_cost(t, x, u)
+            xn = problem.dynamics(t, x, u).astype(dtype)
+            c = problem.running_cost(t, x, u).astype(dtype)
             return xn, (xn, u, c)
 
         _, (xs_tail, us_new, cs) = lax.scan(step, xs[0], (ts, xs[:-1], us, ks, Ks))
         xs_new = jnp.concatenate([xs[0][None], xs_tail], axis=0)
-        c_term = problem.terminal_cost(t0 + N * problem.dt, xs_new[-1])
+        c_term = problem.terminal_cost(t0 + N * problem.dt, xs_new[-1]).astype(dtype)
         costs = jnp.concatenate([cs, c_term[None]])
         return xs_new, us_new, costs
 
@@ -520,12 +528,13 @@ def _rollout_lanes(problem, config, t0, x_l, us_l):
 
     def step(x, tu):
         t, u = tu
-        xn = dyn2(t, x, u)
-        c = cost2(t, x, u)
+        # boundary cast: wide model constants must not promote the solve
+        xn = dyn2(t, x, u).astype(dtype)
+        c = cost2(t, x, u).astype(dtype)
         return xn, (xn, c)
 
     xN, (xs_tail, cs) = lax.scan(step, x_l, (ts, us_l))
-    c_term = term2(t0 + N * problem.dt, xN)
+    c_term = term2(t0 + N * problem.dt, xN).astype(dtype)
     xs_l = jnp.concatenate([x_l[None], xs_tail], axis=0)   # [N+1, nx, S, L]
     costs_l = jnp.concatenate([cs, c_term[None]], axis=0)  # [N+1, S, L]
     return xs_l, costs_l
@@ -555,7 +564,8 @@ def _derivative_sweep_lanes(problem, config, t0, xs_l, us_l):
     f2 = vmap_lanes(lambda t, x, u: _stage_derivs(problem, config, t, x, u), 2)
     D = jax.vmap(f2, in_axes=(0, 0, 0))(ts, xs_l[:-1], us_l)
     term2 = vmap_lanes(problem.quadraticize_terminal_cost, 1)
-    Vx_T, Vxx_T = term2(t0 + N * problem.dt, xs_l[-1])
+    Vx_T, Vxx_T = (a.astype(xs_l.dtype)
+                   for a in term2(t0 + N * problem.dt, xs_l[-1]))
     return D, Vx_T, Vxx_T
 
 
@@ -598,7 +608,7 @@ def _forward_costs_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l):
         dx = x - xr[None]                       # [A, nx, S, L]
         u = (ur[None] + a_bc * k[None]
              + jnp.sum(K[None] * dx[:, None], axis=2))   # [A, nu, S, L]
-        xn = dyn3(t, x, u)
+        xn = dyn3(t, x, u).astype(dtype)
         c = cost3(t, x, u)
         return (xn, ctot + c), None
 
@@ -635,13 +645,13 @@ def _forward_selected_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l,
         t, xr, ur, k, K = inp
         dx = x - xr
         u = ur + alpha_l[None] * k + jnp.sum(K * dx[None, :], axis=1)
-        xn = dyn2(t, x, u)
-        c = cost2(t, x, u)
+        xn = dyn2(t, x, u).astype(dtype)
+        c = cost2(t, x, u).astype(dtype)
         return xn, (xn, u, c)
 
     xN, (xs_tail, us_new, cs) = lax.scan(
         step, xs_l[0], (ts, xs_l[:-1], us_l, ks_l, Ks_l))
-    c_term = term2(t0 + N * problem.dt, xN)
+    c_term = term2(t0 + N * problem.dt, xN).astype(dtype)
     xs_all = jnp.concatenate([xs_l[0][None], xs_tail], axis=0)
     costs_all = jnp.concatenate([cs, c_term[None]], axis=0)
     return xs_all, us_new, costs_all

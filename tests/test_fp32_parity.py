@@ -52,10 +52,15 @@ def test_fp32_parity_and_termination():
     c32 = float(jnp.sum(res32.costs))
     assert abs(c32 - c64) / c64 < 1e-5
 
-    # batched fp32 (stacked kernels) matches the same bounds
+    # batched fp32 (stacked kernels): since the dtype-boundary casts, this
+    # path is all-fp32 end to end on CPU exactly as on the chip (no silent
+    # float64 promotion through model constants under x64), so its honest
+    # conditioning-limited u-noise is ~1e-3 relative; cost parity stays tight.
     res_b = solver.solve_batch(jnp.float32(0.0), x0_32[None], us0_32[None])
     u32b = np.asarray(res_b.us)[0, :, 0]
-    assert np.abs(u32b - u64).max() / scale < 5e-4
+    assert np.abs(u32b - u64).max() / scale < 2e-3
+    cb = float(jnp.sum(res_b.costs[0]))
+    assert abs(cb - c64) / c64 < 1e-5
     assert int(res_b.status[0]) == DDPStatus.SUCCEEDED
 
 
