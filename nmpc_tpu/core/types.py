@@ -83,8 +83,13 @@ class DDPConfig:
     # Backward-pass kernel for the batched (stacked) solve path:
     # "stacked" = batch-minor XLA kernel (kernels/ddp_backward.py);
     # "pallas"  = fused Pallas TPU kernel with double-buffered stage DMA
-    #             (kernels/ddp_backward_pallas.py; requires B % 128 == 0).
-    backward_impl: str = "stacked"
+    #             (kernels/ddp_backward_pallas.py; requires B % 128 == 0);
+    # "auto"    = "pallas" when eligible (TPU default backend, fp32,
+    #             B % 128 == 0), else "stacked".  Measured on a v5e chip at
+    #             the headline config (B=4096, N=100 cart-pole): pallas is
+    #             3.3x faster kernel-level and takes the end-to-end solve
+    #             from 446k to 639k solves/s (benchmarks/bench_backward.py).
+    backward_impl: str = "auto"
     # Max backward-pass lambda-retry attempts per iteration. The reference
     # retries unboundedly until lambda > lambda_max (DDPSolver.hpp:191-209);
     # from lambda_min to lambda_max with factor 1.6 that is at most

@@ -667,13 +667,22 @@ def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
     All stacked quantities carry batch on the LAST axis.
     ``bounds`` (StackedBounds) selects the boxed-BoxQP backward.
     """
+    impl = config.backward_impl
+    if impl == "auto":
+        # Pallas wins on hardware (3.3x kernel-level, benchmarks/
+        # bench_backward.py) but requires full 128-lane tiles, fp32, and a
+        # real TPU; everything else takes the stacked XLA kernel.
+        eligible = (lam.shape[0] % 128 == 0
+                    and lam.dtype == jnp.float32
+                    and jax.default_backend() == "tpu")
+        impl = "pallas" if eligible else "stacked"
     if bounds is not None:
         from nmpc_tpu.kernels.ddp_backward import backward_stacked_boxed
 
         def backward_stacked(config, Dst, VxT_s, VxxT_s, lam):
             return backward_stacked_boxed(config, Dst, bounds, VxT_s,
                                           VxxT_s, lam)
-    elif config.backward_impl == "pallas":
+    elif impl == "pallas":
         from nmpc_tpu.kernels.ddp_backward_pallas import (
             backward_pallas as backward_stacked)
     else:
