@@ -49,6 +49,24 @@ class StackedBounds(NamedTuple):
     u: jnp.ndarray      # [N, nu, B] current inputs (bounds taken relative)
 
 
+class StackedSecond(NamedTuple):
+    """Second-order dynamics tensors for full DDP, batch-minor.
+
+    The reference declares these curvature terms but leaves them
+    unimplemented (``DDPSolver.hpp:391-414``); here they ride the same
+    batch-minor fast path as the first-order terms."""
+
+    Fxx: jnp.ndarray  # [N, nx, nx, nx, B]
+    Fuu: jnp.ndarray  # [N, nx, nu, nu, B]
+    Fxu: jnp.ndarray  # [N, nx, nx, nu, B]
+
+
+def _vx_dot_f2(Vx, F2):
+    """Contract Vx [nx, B] with a second-order tensor [nx, a, b, B]
+    -> [a, b, B] (the Vx . Fab curvature term)."""
+    return jnp.sum(Vx[:, None, None, :] * F2, axis=0)
+
+
 def _mm(A, B):
     """[i, k, B] @ [k, j, B] -> [i, j, B] (broadcast-multiply + reduce,
     keeps the batch on the lanes; no dot_general)."""
@@ -233,10 +251,11 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
 
 
 def backward_stacked_boxed(config: DDPConfig, D: StackedDerivs,
-                           bounds: StackedBounds, Vx_T, Vxx_T, lam):
+                           bounds: StackedBounds, Vx_T, Vxx_T, lam,
+                           D2: StackedSecond | None = None):
     """Boxed backward pass, batch-minor: BoxQP feedforward + free-subspace
     feedback gains (``DDPSolver.hpp:450-497``), warm-started from the next
-    stage's feedforward."""
+    stage's feedforward.  D2 adds the full-DDP curvature terms."""
     nx = D.Fx.shape[1]
     nu = D.Fu.shape[2]
     B = Vx_T.shape[-1]
@@ -245,10 +264,14 @@ def backward_stacked_boxed(config: DDPConfig, D: StackedDerivs,
 
     reg1 = config.reg_type == 1
     reg2 = config.reg_type == 2
+    second = D2 is not None
 
     def bstep(carry, d):
         Vx, Vxx, dV, ok, k_next = carry
-        (Fx, Fu, Lx, Lu, Lxx, Luu, Lxu), (lo, hi, u_i) = d
+        if second:
+            (Fx, Fu, Lx, Lu, Lxx, Luu, Lxu), (lo, hi, u_i), (Fxx, Fuu, Fxu) = d
+        else:
+            (Fx, Fu, Lx, Lu, Lxx, Luu, Lxu), (lo, hi, u_i) = d
 
         FuT = _mT(Fu)
         FxT = _mT(Fx)
@@ -258,12 +281,22 @@ def backward_stacked_boxed(config: DDPConfig, D: StackedDerivs,
         Qux = _mT(Lxu) + _mm(FuT_Vxx, Fx)
         Quu = Luu + _mm(FuT_Vxx, Fu)
         Qxx = Lxx + _mm(FxT_Vxx := _mm(FxT, Vxx), Fx)
+        if second:
+            VxFxu = _vx_dot_f2(Vx, Fxu)
+            VxFuu = _vx_dot_f2(Vx, Fuu)
+            VxFxx = _vx_dot_f2(Vx, Fxx)
+            Qux = Qux + _mT(VxFxu)
+            Quu = Quu + VxFuu
+            Qxx = Qxx + VxFxx
 
         if reg2:
             Vxx_reg = Vxx + lam[None, None, :] * eye_nx
             FuT_Vr = _mm(FuT, Vxx_reg)
             Qux_reg = _mT(Lxu) + _mm(FuT_Vr, Fx)
             Quu_F = Luu + _mm(FuT_Vr, Fu)
+            if second:
+                Qux_reg = Qux_reg + _mT(VxFxu)
+                Quu_F = Quu_F + VxFuu
         else:
             Qux_reg = Qux
             Quu_F = Quu
@@ -290,15 +323,18 @@ def backward_stacked_boxed(config: DDPConfig, D: StackedDerivs,
 
     init = (Vx_T, Vxx_T, jnp.zeros((2, B), dtype), jnp.ones((B,), dtype=bool),
             jnp.zeros((nu, B), dtype))
-    (_, _, dV, ok, _), (ks, Ks) = lax.scan(
-        bstep, init, (tuple(D), tuple(bounds)), reverse=True)
+    xs = ((tuple(D), tuple(bounds), tuple(D2)) if second
+          else (tuple(D), tuple(bounds)))
+    (_, _, dV, ok, _), (ks, Ks) = lax.scan(bstep, init, xs, reverse=True)
     return ks, Ks, dV, ok
 
 
-def backward_stacked(config: DDPConfig, D: StackedDerivs, Vx_T, Vxx_T, lam):
+def backward_stacked(config: DDPConfig, D: StackedDerivs, Vx_T, Vxx_T, lam,
+                     D2: StackedSecond | None = None):
     """Backward pass, batch-minor.
 
-    Args: Vx_T [nx, B], Vxx_T [nx, nx, B], lam [B] (per-lane regularization).
+    Args: Vx_T [nx, B], Vxx_T [nx, nx, B], lam [B] (per-lane regularization);
+    D2 adds the full-DDP second-order curvature terms.
     Returns (ks [N, nu, B], Ks [N, nu, nx, B], dV [2, B], ok [B]).
     """
     nx = D.Fx.shape[1]
@@ -309,10 +345,14 @@ def backward_stacked(config: DDPConfig, D: StackedDerivs, Vx_T, Vxx_T, lam):
 
     reg1 = config.reg_type == 1
     reg2 = config.reg_type == 2
+    second = D2 is not None
 
     def bstep(carry, d):
         Vx, Vxx, dV, ok = carry
-        Fx, Fu, Lx, Lu, Lxx, Luu, Lxu = d
+        if second:
+            (Fx, Fu, Lx, Lu, Lxx, Luu, Lxu), (Fxx, Fuu, Fxu) = d
+        else:
+            Fx, Fu, Lx, Lu, Lxx, Luu, Lxu = d
 
         FuT = _mT(Fu)          # [nu, nx, B]
         FxT = _mT(Fx)          # [nx, nx, B]
@@ -323,12 +363,23 @@ def backward_stacked(config: DDPConfig, D: StackedDerivs, Vx_T, Vxx_T, lam):
         Quu = Luu + _mm(FuT_Vxx, Fu)
         FxT_Vxx = _mm(FxT, Vxx)
         Qxx = Lxx + _mm(FxT_Vxx, Fx)
+        if second:
+            # Vx . Fab curvature (DDPSolver.hpp:391-414, stubbed there)
+            VxFxu = _vx_dot_f2(Vx, Fxu)   # [nx, nu, B]
+            VxFuu = _vx_dot_f2(Vx, Fuu)   # [nu, nu, B]
+            VxFxx = _vx_dot_f2(Vx, Fxx)   # [nx, nx, B]
+            Qux = Qux + _mT(VxFxu)
+            Quu = Quu + VxFuu
+            Qxx = Qxx + VxFxx
 
         if reg2:
             Vxx_reg = Vxx + lam[None, None, :] * eye_nx
             FuT_Vr = _mm(FuT, Vxx_reg)
             Qux_reg = _mT(Lxu) + _mm(FuT_Vr, Fx)
             Quu_F = Luu + _mm(FuT_Vr, Fu)
+            if second:
+                Qux_reg = Qux_reg + _mT(VxFxu)
+                Quu_F = Quu_F + VxFuu
         else:
             Qux_reg = Qux
             Quu_F = Quu
@@ -353,7 +404,8 @@ def backward_stacked(config: DDPConfig, D: StackedDerivs, Vx_T, Vxx_T, lam):
         return (Vx_new, Vxx_new, dV, ok & ok_i), (k, K)
 
     init = (Vx_T, Vxx_T, jnp.zeros((2, B), dtype), jnp.ones((B,), dtype=bool))
-    (_, _, dV, ok), (ks, Ks) = lax.scan(bstep, init, tuple(D), reverse=True)
+    xs = (tuple(D), tuple(D2)) if second else tuple(D)
+    (_, _, dV, ok), (ks, Ks) = lax.scan(bstep, init, xs, reverse=True)
     return ks, Ks, dV, ok
 
 

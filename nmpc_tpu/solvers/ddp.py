@@ -79,13 +79,9 @@ class DDPSolver:
         # layer to re-jit with explicit shardings (parallel/mesh.py).
         self.raw_solve = functools.partial(_solve, problem, config)
         # Batched solve: the batch-minor "stacked" backward kernel is the
-        # fast path (see kernels/ddp_backward.py; boxed inputs use the
-        # stacked BoxQP). Second-order configurations fall back to
-        # vmap-of-single.
-        if config.use_state_eq_second_derivative:
-            self.raw_solve_batch = jax.vmap(self.raw_solve, in_axes=(None, 0, 0))
-        else:
-            self.raw_solve_batch = functools.partial(_solve_stacked, problem, config)
+        # fast path for every configuration (see kernels/ddp_backward.py;
+        # boxed inputs use the stacked BoxQP, full DDP adds StackedSecond).
+        self.raw_solve_batch = functools.partial(_solve_stacked, problem, config)
         self._solve = jax.jit(self.raw_solve)
         self._solve_batch = jax.jit(self.raw_solve_batch)
 
@@ -658,22 +654,25 @@ def _forward_selected_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l,
 
 
 def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
-                            running, bounds=None):
+                            running, bounds=None, D2=None):
     """Per-lane lambda-retry loop around the stacked backward kernel.
 
     Semantics per lane match ``_backward_with_retry`` under vmap
     (``DDPSolver.hpp:191-209``): a lane whose backward fails bumps its own
     lambda and retries; converged/non-running lanes are frozen.
     All stacked quantities carry batch on the LAST axis.
-    ``bounds`` (StackedBounds) selects the boxed-BoxQP backward.
+    ``bounds`` (StackedBounds) selects the boxed-BoxQP backward;
+    ``D2`` (StackedSecond) adds the full-DDP curvature terms.
     """
     impl = config.backward_impl
     if impl == "auto":
         # Pallas wins on hardware (3.3x kernel-level, benchmarks/
-        # bench_backward.py) but requires full 128-lane tiles, fp32, and a
-        # real TPU; everything else takes the stacked XLA kernel.
+        # bench_backward.py) but requires full 128-lane tiles, fp32, a real
+        # TPU, and no second-order terms; everything else takes the stacked
+        # XLA kernel.
         eligible = (lam.shape[0] % 128 == 0
                     and lam.dtype == jnp.float32
+                    and D2 is None
                     and jax.default_backend() == "tpu")
         impl = "pallas" if eligible else "stacked"
     if bounds is not None:
@@ -681,12 +680,16 @@ def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
 
         def backward_stacked(config, Dst, VxT_s, VxxT_s, lam):
             return backward_stacked_boxed(config, Dst, bounds, VxT_s,
-                                          VxxT_s, lam)
-    elif impl == "pallas":
+                                          VxxT_s, lam, D2=D2)
+    elif impl == "pallas" and D2 is None:
         from nmpc_tpu.kernels.ddp_backward_pallas import (
             backward_pallas as backward_stacked)
     else:
-        from nmpc_tpu.kernels.ddp_backward import backward_stacked
+        from nmpc_tpu.kernels.ddp_backward import (
+            backward_stacked as _bw_stacked)
+
+        def backward_stacked(config, Dst, VxT_s, VxxT_s, lam):
+            return _bw_stacked(config, Dst, VxT_s, VxxT_s, lam, D2=D2)
 
     B = lam.shape[0]
     dtype = lam.dtype
@@ -743,10 +746,10 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
     no layout transpose occurs anywhere inside the iteration loop.
     Per-lane control flow reproduces ``_solve``-under-vmap exactly (tested).
     """
-    from nmpc_tpu.kernels.ddp_backward import StackedBounds, StackedDerivs
+    from nmpc_tpu.kernels.ddp_backward import (
+        StackedBounds, StackedDerivs, StackedSecond)
     from nmpc_tpu.kernels.lanes import block_lanes, lane_factors, unblock_lanes
 
-    assert not config.use_state_eq_second_derivative
     dtype = x0s.dtype
     t0 = jnp.asarray(t0, dtype)
     B = x0s.shape[0]
@@ -816,11 +819,15 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
         if config.with_input_constraint:
             bounds = StackedBounds(lower=flat(D.lower), upper=flat(D.upper),
                                    u=flat(D.u))
+        D2 = None
+        if config.use_state_eq_second_derivative:
+            D2 = StackedSecond(Fxx=flat(D.Fxx), Fuu=flat(D.Fuu),
+                               Fxu=flat(D.Fxu))
 
         # Step 2: backward with per-lane lambda retry (flat-B batch-minor).
         lam, dlam, ks_f, Ks_f, dV, bw_failed = _backward_retry_stacked(
             config, Dst, flat(VxT), flat(VxxT), s.lam, s.dlam,
-            flat(s.ks), flat(s.Ks), running, bounds=bounds)
+            flat(s.ks), flat(s.Ks), running, bounds=bounds, D2=D2)
         ks = lanes(ks_f)                     # [N, nu, S, L]
         Ks = lanes(Ks_f)                     # [N, nu, nx, S, L]
 

@@ -60,6 +60,49 @@ def test_second_order_ddp():
                                atol=1e-3)
 
 
+def test_second_order_batched_matches_single():
+    """Full DDP rides the stacked (batch-minor) fast path: solve_batch with
+    ``use_state_eq_second_derivative=True`` must reproduce the single-solve
+    results per lane (the reference stubs this feature entirely,
+    ``DDPSolver.hpp:391-414``)."""
+    import jax
+
+    problem = make_cartpole_problem(0.01)
+    config = DDPConfig(horizon_steps=40, max_iter=60,
+                       use_state_eq_second_derivative=True)
+    solver = DDPSolver(problem, config)
+    x0s = jnp.asarray(np.array([
+        [0.0, np.pi, 0.0, 0.0],
+        [0.1, np.pi - 0.2, 0.0, 0.1],
+        [-0.1, np.pi + 0.1, 0.2, 0.0],
+    ]))
+    us0 = jnp.zeros((3, 40, 1))
+    batch = solver.solve_batch(0.0, x0s, us0)
+    for i in range(3):
+        single = solver.solve(0.0, x0s[i], us0[i])
+        assert int(batch.status[i]) == int(single.status)
+        assert int(batch.iters[i]) == int(single.iters)
+        np.testing.assert_allclose(np.asarray(batch.us[i]),
+                                   np.asarray(single.us), atol=1e-8)
+
+
+def test_second_order_boxed_batched():
+    """Second-order + box constraints together on the stacked path: inputs
+    respect the box and lanes converge."""
+    problem = make_cartpole_problem(0.01, input_limits=(-15.0, 15.0))
+    config = DDPConfig(horizon_steps=40, max_iter=100,
+                       use_state_eq_second_derivative=True,
+                       with_input_constraint=True)
+    solver = DDPSolver(problem, config)
+    x0s = jnp.asarray(np.array([[0.0, np.pi, 0.0, 0.0],
+                                [0.0, np.pi - 0.3, 0.0, 0.0]]))
+    us0 = jnp.zeros((2, 40, 1))
+    res = solver.solve_batch(0.0, x0s, us0)
+    us = np.asarray(res.us)
+    assert us.min() >= -15.0 - 1e-9 and us.max() <= 15.0 + 1e-9
+    assert bool(jnp.all(jnp.isfinite(res.us)))
+
+
 def test_derivative_checker():
     check_problem_derivatives(make_cartpole_problem(0.01), 0.0,
                               [1.0, -2.0, 3.0, -4.0], [10.0])
