@@ -25,7 +25,7 @@ from nmpc_tpu.solvers.ddp import DDPSolver
 from nmpc_tpu.solvers.boxqp import boxqp_solve
 from nmpc_tpu.solvers.fmpc import FmpcSolver
 from nmpc_tpu.solvers.cgmres import CgmresConfig, CgmresSolver, CgmresState
-from nmpc_tpu.solvers.gmres import gmres
+from nmpc_tpu.solvers.gmres import gmres, gmres_dense
 
 __version__ = "0.1.0"
 
@@ -47,6 +47,7 @@ __all__ = [
     "CgmresSolver",
     "CgmresState",
     "gmres",
+    "gmres_dense",
     "BoxQPConfig",
     "BoxQPStatus",
     "boxqp_solve",

@@ -126,13 +126,14 @@ class BoxQPConfig:
 
     Equivalent of reference ``BoxQP::Configuration``
     (``nmpc_ddp/include/nmpc_ddp/BoxQP.h:33-55``) with the same defaults,
-    except ``max_iter`` defaults to 100 (reference 500): the fixed-point
-    masked reformulation converges in a handful of iterations for the
-    small input dimensions this inner kernel sees, and the loop exits early
-    once all lanes converge.
+    including ``max_iter = 500``.  The masked while-loop exits as soon as
+    every lane has converged, so the high cap costs nothing in the common
+    case (MPC-size problems converge in a handful of iterations — pinned
+    by ``tests/test_boxqp.py::test_boxqp_worst_case_iterations``) while
+    matching the reference's behavior on adversarial active sets.
     """
 
-    max_iter: int = 100
+    max_iter: int = 500
     grad_thre: float = 1e-8
     rel_improve_thre: float = 1e-8
     step_factor: float = 0.6

@@ -37,12 +37,18 @@ def gmres(
     k_max: int,
     eps: float = 1e-10,
     reorth: bool = True,
+    make_triangular: bool = True,
 ) -> GmresResult:
     """Solve A x = b given the matrix-free product ``Amul(v) = A @ v``.
 
     Matches ``Gmres::solve`` (``Gmres.h:67-192``) semantics, including the
     floating-point reorthogonalization trigger
     ``Avk_norm + 1e-3 * h == Avk_norm``.
+
+    ``make_triangular=True`` is Kelley Alg. 3.5.1 (incremental Givens
+    triangularization, ``Gmres.h:136-168``); ``False`` is Alg. 3.4.2: a
+    Householder-QR least-squares solve of the growing Hessenberg each
+    iteration with the true residual norm (``Gmres.h:170-176``).
     """
     n = b.shape[0]
     dtype = b.dtype
@@ -59,6 +65,10 @@ def gmres(
     cs = jnp.zeros((k_max,), dtype)
     sn = jnp.zeros((k_max,), dtype)
     errs = jnp.full((k_max + 1,), jnp.nan, dtype).at[0].set(rho0)
+    # unit subdiagonal used to pad inactive Hessenberg columns in the
+    # least-squares mode (keeps the padded QR nonsingular and exactly
+    # equivalent to the truncated system)
+    _sub = jnp.eye(k_max + 1, k_max, k=-1, dtype=dtype)
 
     class Carry(NamedTuple):
         k: jnp.ndarray
@@ -69,6 +79,7 @@ def gmres(
         sn: jnp.ndarray
         rho: jnp.ndarray
         errs: jnp.ndarray
+        y: jnp.ndarray
 
     def cond(c: Carry):
         return (c.rho > eps * b_norm) & (c.k < k_max)
@@ -107,52 +118,97 @@ def gmres(
         hcol = hcol.at[k + 1].set(new_norm)
         V = c.V.at[k + 1].set(jnp.where(new_norm > 0, w / new_norm, w))
 
-        # apply previous Givens rotations to the new column (Gmres.h:139-148)
-        def rot(j, hcol):
-            active = j < k
-            h0, h1 = hcol[j], hcol[j + 1]
-            cj = jnp.where(active, c.cs[j], 1.0)
-            sj = jnp.where(active, c.sn[j], 0.0)
-            return hcol.at[j].set(cj * h0 - sj * h1).at[j + 1].set(
-                sj * h0 + cj * h1)
+        if make_triangular:
+            # apply previous Givens rotations to the new column (Gmres.h:139-148)
+            def rot(j, hcol):
+                active = j < k
+                h0, h1 = hcol[j], hcol[j + 1]
+                cj = jnp.where(active, c.cs[j], 1.0)
+                sj = jnp.where(active, c.sn[j], 0.0)
+                return hcol.at[j].set(cj * h0 - sj * h1).at[j + 1].set(
+                    sj * h0 + cj * h1)
 
-        hcol = lax.fori_loop(0, k_max, rot, hcol)
+            hcol = lax.fori_loop(0, k_max, rot, hcol)
 
-        # new rotation zeroing the subdiagonal (Gmres.h:150-160)
-        nu = jnp.sqrt(hcol[k] ** 2 + hcol[k + 1] ** 2)
-        ck = jnp.where(nu > 0, hcol[k] / nu, 1.0)
-        sk = jnp.where(nu > 0, -hcol[k + 1] / nu, 0.0)
-        hcol = hcol.at[k].set(ck * hcol[k] - sk * hcol[k + 1]).at[k + 1].set(0.0)
+            # new rotation zeroing the subdiagonal (Gmres.h:150-160)
+            nu = jnp.sqrt(hcol[k] ** 2 + hcol[k + 1] ** 2)
+            ck = jnp.where(nu > 0, hcol[k] / nu, 1.0)
+            sk = jnp.where(nu > 0, -hcol[k + 1] / nu, 0.0)
+            hcol = hcol.at[k].set(ck * hcol[k] - sk * hcol[k + 1]).at[k + 1].set(0.0)
 
-        g0, g1 = c.g[k], c.g[k + 1]
-        gnew = c.g.at[k].set(ck * g0 - sk * g1).at[k + 1].set(sk * g0 + ck * g1)
-        rho = jnp.abs(gnew[k + 1])
+            g0, g1 = c.g[k], c.g[k + 1]
+            gnew = c.g.at[k].set(ck * g0 - sk * g1).at[k + 1].set(sk * g0 + ck * g1)
+            rho = jnp.abs(gnew[k + 1])
+            Hnew = c.H.at[:, k].set(hcol[: k_max + 1])
+            ynew = c.y
+
+        else:
+            # least-squares mode (Kelley Alg. 3.4.2, Gmres.h:170-176):
+            # Householder-QR solve of the (k+2, k+1) Hessenberg block each
+            # iteration; rho is the true LS residual.  Fixed-shape: pad
+            # inactive columns with a unit subdiagonal (their y entries
+            # solve rows whose rhs is zero -> exactly 0).
+            Hnew = c.H.at[:, k].set(hcol[: k_max + 1])
+            rowm = jnp.arange(k_max + 1) < k + 2
+            colm = jnp.arange(k_max) < k + 1
+            Hm = (Hnew * (rowm[:, None] & colm[None, :])
+                  + _sub * (~colm)[None, :])
+            rhs = jnp.where(rowm, c.g, 0.0)
+            q, r_ = jnp.linalg.qr(Hm)
+            ynew = jax.scipy.linalg.solve_triangular(r_, q.T @ rhs,
+                                                     lower=False)
+            rho = jnp.linalg.norm(rhs - Hm @ ynew)
+            gnew = c.g
+            ck = sk = jnp.zeros((), dtype)
 
         return Carry(
             k=k + 1,
             V=V,
-            H=c.H.at[:, k].set(hcol[: k_max + 1]),
+            H=Hnew,
             g=gnew,
             cs=c.cs.at[k].set(ck),
             sn=c.sn.at[k].set(sk),
             rho=rho,
             errs=c.errs.at[k + 1].set(rho),
+            y=ynew,
         )
 
     out = lax.while_loop(cond, body, Carry(jnp.int32(0), V, H, g, cs, sn,
-                                           rho0, errs))
+                                           rho0, errs,
+                                           jnp.zeros((k_max,), dtype)))
 
-    # back-substitution on the k x k upper-triangular block (Gmres.h:181-184);
-    # masked: rows >= k get unit diagonal and zero rhs -> y = 0.
-    k = out.k
-    idx = jnp.arange(k_max)
-    active = idx < k
-    Ht = out.H[:k_max, :]
-    Ht = jnp.where(active[:, None] & active[None, :], Ht, 0.0)
-    Ht = Ht + jnp.diag(jnp.where(active, 0.0, 1.0))
-    rhs = jnp.where(active, out.g[:k_max], 0.0)
-    y = jax.scipy.linalg.solve_triangular(Ht, rhs, lower=False)
+    if make_triangular:
+        # back-substitution on the k x k upper-triangular block
+        # (Gmres.h:181-184); masked: rows >= k get unit diagonal and zero
+        # rhs -> y = 0.
+        k = out.k
+        idx = jnp.arange(k_max)
+        active = idx < k
+        Ht = out.H[:k_max, :]
+        Ht = jnp.where(active[:, None] & active[None, :], Ht, 0.0)
+        Ht = Ht + jnp.diag(jnp.where(active, 0.0, 1.0))
+        rhs = jnp.where(active, out.g[:k_max], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Ht, rhs, lower=False)
+    else:
+        # the last iteration's LS solution (reference uses y_k from the
+        # final loop pass, Gmres.h:186-190)
+        y = out.y
 
     x = x0 + out.V[:k_max].T @ y
     return GmresResult(x=x, iters=out.k, residual=out.rho,
                        err_history=out.errs)
+
+
+def gmres_dense(
+    A: jnp.ndarray,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    k_max: int,
+    eps: float = 1e-10,
+    reorth: bool = True,
+    make_triangular: bool = True,
+) -> GmresResult:
+    """Dense-matrix convenience overload (reference ``Gmres.h:42-52``):
+    forwards ``Amul(v) = A @ v`` to the matrix-free solver."""
+    return gmres(lambda v: A @ v, b, x0, k_max, eps=eps, reorth=reorth,
+                 make_triangular=make_triangular)

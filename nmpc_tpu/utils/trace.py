@@ -41,7 +41,11 @@ def dump_ddp_trace(result, file_path: str, durations=None):
 
 
 def dump_fmpc_trace(result, file_path: str, durations=None):
-    """Write an FMPC trace table for one (unbatched) FmpcResult."""
+    """Write an FMPC trace table for one (unbatched) FmpcResult.
+
+    ``durations`` (from ``utils.profiled.profiled_solve_fmpc``) fills the
+    per-iteration coeff/backward/forward/update millisecond columns
+    (reference ``FmpcSolver.h:254-288``)."""
     tr = result.trace
     n = int(result.iters) + 1
     cols = [
@@ -52,6 +56,11 @@ def dump_fmpc_trace(result, file_path: str, durations=None):
         ("duration_forward", np.zeros(max(n - 1, 0))),
         ("duration_update", np.zeros(max(n - 1, 0))),
     ]
+    if durations is not None:
+        for name, arr in durations.items():
+            for i, (cn, _) in enumerate(cols):
+                if cn == f"duration_{name}":
+                    cols[i] = (cn, np.asarray(arr[1:n]))
     _write_table(file_path, cols)
 
 

@@ -128,6 +128,80 @@ def test_trace_dump_roundtrip(tmp_path):
     assert data["cost"][0] == pytest.approx(float(res.trace.cost[0]))
 
 
+def test_profiled_solve_fills_durations(tmp_path):
+    """Profiled mode (utils/profiled.py) reproduces the fused solve exactly
+    and fills the trace dump's per-iteration phase-duration columns with
+    real nonzero milliseconds (reference ``DDPSolver.h:219-247``,
+    TraceData duration columns ``DDPSolver.h:179-216``)."""
+    from nmpc_tpu.utils.profiled import (
+        estimate_backward_split,
+        profiled_solve_ddp,
+    )
+
+    problem = make_cartpole_problem(0.01)
+    solver = DDPSolver(problem, DDPConfig(horizon_steps=30, max_iter=20))
+    x0 = jnp.array([0.0, np.pi, 0.0, 0.0])
+    us0 = jnp.zeros((30, 1))
+
+    fused = solver.solve(0.0, x0, us0)
+    prof, dur, cd = profiled_solve_ddp(solver, 0.0, x0, us0)
+
+    assert int(prof.status) == int(fused.status)
+    assert int(prof.iters) == int(fused.iters)
+    np.testing.assert_allclose(np.asarray(prof.us), np.asarray(fused.us),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(prof.trace.cost),
+                               np.asarray(fused.trace.cost), rtol=1e-12)
+
+    n = int(prof.iters)
+    for k in ("derivative", "backward", "forward"):
+        assert dur[k][1:n].min() > 0.0, k
+    # totals consistent: phases <= end-to-end solve time
+    assert 0 < cd.opt <= cd.solve
+    assert cd.derivative + cd.backward + cd.forward == pytest.approx(cd.opt)
+
+    path = os.path.join(tmp_path, "trace_prof.txt")
+    dump_ddp_trace(prof, path, durations=dur)
+    data = load_trace(path)
+    assert data["duration_backward"][1:].min() > 0.0
+
+    split = estimate_backward_split(solver, 0.0, x0, us0)
+    assert all(v > 0 for v in split.values())
+
+
+def test_profiled_solve_fmpc_fills_durations(tmp_path):
+    """FMPC profiled mode: coeff/backward/forward/update columns
+    (reference ``FmpcSolver.h:254-288``) filled with real times and the
+    result matching the fused solve."""
+    from nmpc_tpu import FmpcConfig, FmpcSolver, fmpc_variable_reset
+    from nmpc_tpu.utils.profiled import profiled_solve_fmpc
+    from nmpc_tpu.utils.trace import dump_fmpc_trace
+
+    problem = make_oscillator_problem(0.01)
+    solver = FmpcSolver(problem, FmpcConfig(horizon_steps=50, max_iter=5))
+    var = fmpc_variable_reset(50, 2, 1, 3)
+    x0 = jnp.array([0.0, 1.0])
+
+    fused = solver.solve(0.0, x0, var)
+    prof, dur = profiled_solve_fmpc(solver, 0.0, x0, var)
+
+    assert int(prof.status) == int(fused.status)
+    assert int(prof.iters) == int(fused.iters)
+    np.testing.assert_allclose(np.asarray(prof.variable.us),
+                               np.asarray(fused.variable.us), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(prof.trace.kkt_error),
+                               np.asarray(fused.trace.kkt_error), rtol=1e-10)
+
+    assert dur["coeff"][1] > 0.0
+    n = int(prof.iters)
+    assert dur["backward"][1:n].min() > 0.0
+
+    path = os.path.join(tmp_path, "fmpc_trace_prof.txt")
+    dump_fmpc_trace(prof, path, durations=dur)
+    data = load_trace(path)
+    assert data["duration_coeff"].min() > 0.0
+
+
 def test_print_level_gated_logging(capfd):
     """print_level=3 streams per-iteration diagnostics (reference
     DDPSolver.h:62-63 gate); the default 0 compiles to silence."""

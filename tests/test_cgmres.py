@@ -53,6 +53,44 @@ def test_gmres_truncated():
     np.testing.assert_allclose(r_true, float(res.residual), rtol=1e-6)
 
 
+@pytest.mark.parametrize("n", [10, 50, 100])
+@pytest.mark.parametrize("make_triangular", [True, False])
+@pytest.mark.parametrize("reorth", [True, False])
+def test_gmres_variants(n, make_triangular, reorth):
+    """All four solver variants — Givens triangularization on/off
+    (Kelley Alg. 3.5.1 / 3.4.2) x reorthogonalization on/off — against the
+    dense solution, like the reference's variant matrix
+    (``TestGmres.cpp:114-155``, ``Gmres.h:170-176``)."""
+    rng = np.random.default_rng(100 * n + make_triangular)
+    A = rng.normal(size=(n, n)) + n * np.eye(n)
+    b = rng.normal(size=n)
+    x_true = np.linalg.solve(A, b)
+    from nmpc_tpu.solvers.gmres import gmres_dense
+    res = gmres_dense(jnp.asarray(A), jnp.asarray(b), jnp.zeros(n), k_max=n,
+                      reorth=reorth, make_triangular=make_triangular)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-8)
+    r = np.linalg.norm(b - A @ np.asarray(res.x))
+    assert r < 1e-10 * np.linalg.norm(b) + 1e-12
+
+
+def test_gmres_least_squares_truncated_matches_givens():
+    """Truncated runs of the two algorithms produce the same Krylov-optimal
+    iterate (they minimize the same least-squares problem)."""
+    n, k = 80, 12
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(n, n)) + 0.3 * n * np.eye(n)
+    b = rng.normal(size=n)
+    from nmpc_tpu.solvers.gmres import gmres_dense
+    r1 = gmres_dense(jnp.asarray(A), jnp.asarray(b), jnp.zeros(n), k_max=k,
+                     make_triangular=True)
+    r2 = gmres_dense(jnp.asarray(A), jnp.asarray(b), jnp.zeros(n), k_max=k,
+                     make_triangular=False)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x), atol=1e-8)
+    # the LS-mode rho is the true residual; the Givens estimate agrees
+    np.testing.assert_allclose(float(r2.residual), float(r1.residual),
+                               rtol=1e-6)
+
+
 def test_gmres_warm_start():
     n = 30
     rng = np.random.default_rng(1)
