@@ -82,8 +82,12 @@ class CgmresSolver:
         self._step = jax.jit(functools.partial(_control_step, problem, config))
         self._sim = jax.jit(functools.partial(_simulate, problem, config),
                             static_argnames=("n_steps",))
-        # batched controllers: vmap over (x, next_x, state) / (x0, state)
-        self._step_batch = jax.jit(jax.vmap(
+        # batched controllers: the lane-blocked batch-minor fleet kernel
+        # (gmres_bm + batch-minor sweeps); vmap-of-single retained for
+        # comparison/testing as _step_batch_vmap
+        self._step_batch = jax.jit(
+            functools.partial(_control_step_bm, problem, config))
+        self._step_batch_vmap = jax.jit(jax.vmap(
             functools.partial(_control_step, problem, config),
             in_axes=(None, 0, 0, 0)))
         def _sim_batch(t0, x0s, states, n_steps):
@@ -293,6 +297,235 @@ def _setup(problem: ContinuousProblem, config: CgmresConfig, t0, x0, u0
         delta_u_vec=jnp.zeros((N * problem.dim_uc,), dtype),
         u=u,
         err=err,
+    )
+
+
+# --------------------------------------------------------------------------
+# lane-blocked (batch-minor) fleet path: the GMRES recurrences and horizon
+# sweeps carry the controller batch on the TRAILING axis so every per-lane
+# scalar (Givens coefficients, MGS dot products, residuals) is a full-lane
+# [B] vector instead of a vmap-scalar — the same layout treatment that won
+# for the DDP/FMPC Riccati kernels (kernels/ddp_backward.py).
+# --------------------------------------------------------------------------
+
+
+def gmres_bm(Amul, b, x0, k_max: int, eps: float = 1e-10):
+    """Batch-minor GMRES: ``b``/``x0`` are [n, B]; ``Amul`` maps [n, B] ->
+    [n, B] (all lanes at once).  Per-lane convergence masking reproduces
+    ``gmres``-under-vmap semantics exactly (Givens mode, reorth on).
+    Returns (x [n, B], iters, rho [B])."""
+    n, B = b.shape
+    dtype = b.dtype
+    k_max = min(k_max, n)
+
+    r = b - Amul(x0)
+    rho0 = jnp.linalg.norm(r, axis=0)                    # [B]
+    b_norm = jnp.linalg.norm(b, axis=0)
+
+    V = jnp.zeros((k_max + 1, n, B), dtype).at[0].set(
+        jnp.where(rho0 > 0, r / rho0, r))
+    H = jnp.zeros((k_max + 1, k_max, B), dtype)
+    g = jnp.zeros((k_max + 1, B), dtype).at[0].set(rho0)
+    cs = jnp.zeros((k_max, B), dtype)
+    sn = jnp.zeros((k_max, B), dtype)
+
+    class Carry(NamedTuple):
+        k: jnp.ndarray
+        V: jnp.ndarray
+        H: jnp.ndarray
+        g: jnp.ndarray
+        cs: jnp.ndarray
+        sn: jnp.ndarray
+        rho: jnp.ndarray   # [B]
+
+    def cond(c: Carry):
+        return jnp.any(c.rho > eps * b_norm) & (c.k < k_max)
+
+    def body(c: Carry):
+        k = c.k
+        act = c.rho > eps * b_norm                       # [B]
+        w = Amul(c.V[k])                                 # [n, B]
+        Avk_norm = jnp.linalg.norm(w, axis=0)
+
+        def mgs(j, carry):
+            w, hcol = carry
+            on = j <= k
+            h = jnp.where(on, jnp.sum(w * c.V[j], axis=0), 0.0)
+            w = w - h[None, :] * c.V[j]
+            return (w, hcol.at[j].set(h))
+
+        w, hcol = lax.fori_loop(0, k_max + 1, mgs,
+                                (w, jnp.zeros((k_max + 1, B), dtype)))
+        new_norm = jnp.linalg.norm(w, axis=0)
+
+        # conditional reorthogonalization, per lane (Gmres.h:117-130)
+        need = (Avk_norm + 1e-3 * new_norm) == Avk_norm
+
+        def mgs2(j, carry):
+            w, hcol = carry
+            on = j <= k
+            h = jnp.where(on & need, jnp.sum(w * c.V[j], axis=0), 0.0)
+            w = w - h[None, :] * c.V[j]
+            return (w, hcol.at[j].add(h))
+
+        w, hcol = lax.fori_loop(0, k_max + 1, mgs2, (w, hcol))
+        new_norm = jnp.where(need, jnp.linalg.norm(w, axis=0), new_norm)
+
+        hcol = hcol.at[k + 1].set(new_norm)
+        v_new = jnp.where(new_norm > 0, w / new_norm, w)
+        V = c.V.at[k + 1].set(jnp.where(act, v_new, c.V[k + 1]))
+
+        def rot(j, hcol):
+            on = j < k
+            h0, h1 = hcol[j], hcol[j + 1]
+            cj = jnp.where(on, c.cs[j], 1.0)
+            sj = jnp.where(on, c.sn[j], 0.0)
+            return hcol.at[j].set(cj * h0 - sj * h1).at[j + 1].set(
+                sj * h0 + cj * h1)
+
+        hcol = lax.fori_loop(0, k_max, rot, hcol)
+
+        nu = jnp.sqrt(hcol[k] ** 2 + hcol[k + 1] ** 2)
+        ck = jnp.where(nu > 0, hcol[k] / nu, 1.0)
+        sk = jnp.where(nu > 0, -hcol[k + 1] / nu, 0.0)
+        hcol = hcol.at[k].set(ck * hcol[k] - sk * hcol[k + 1]).at[k + 1].set(0.0)
+
+        g0, g1 = c.g[k], c.g[k + 1]
+        gnew = c.g.at[k].set(jnp.where(act, ck * g0 - sk * g1, g0)).at[
+            k + 1].set(jnp.where(act, sk * g0 + ck * g1, g1))
+        rho = jnp.where(act, jnp.abs(gnew[k + 1]), c.rho)
+
+        return Carry(
+            k=k + 1,
+            V=V,
+            H=c.H.at[:, k].set(jnp.where(act, hcol, c.H[:, k])),
+            g=gnew,
+            cs=c.cs.at[k].set(jnp.where(act, ck, c.cs[k])),
+            sn=c.sn.at[k].set(jnp.where(act, sk, c.sn[k])),
+            rho=rho,
+        )
+
+    out = lax.while_loop(cond, body, Carry(jnp.int32(0), V, H, g, cs, sn,
+                                           rho0))
+
+    # per-lane masked back-substitution, unrolled over the small k_max
+    # (lanes that converged at different k solve their own truncations:
+    # inactive rows get unit diagonal / zero rhs -> y = 0)
+    k_fin = out.k  # global iteration count (vmap semantics: shared)
+    idx = jnp.arange(k_max)
+    act_row = (idx < k_fin)[:, None]                     # [k_max, 1]
+    rhs = jnp.where(act_row, out.g[:k_max], 0.0)         # [k_max, B]
+    y = [None] * k_max
+    for i in reversed(range(k_max)):
+        s = rhs[i]
+        for j in range(i + 1, k_max):
+            s = s - out.H[i, j] * y[j]
+        diag = jnp.where(idx[i] < k_fin, out.H[i, i], 1.0)
+        y[i] = jnp.where(idx[i] < k_fin, s / diag, jnp.zeros_like(s))
+    y = jnp.stack(y, axis=0)                             # [k_max, B]
+
+    x = x0 + jnp.sum(out.V[:k_max] * y[:, None, :], axis=0)
+    return x, out.k, out.rho
+
+
+def _calc_dhdu_list_bm(problem: ContinuousProblem, config: CgmresConfig,
+                       t, x, u_list):
+    """Batch-minor horizon sweep: x [dim_x, B], u_list [N, dim_uc, B]
+    -> dhdu [N, dim_uc, B] (``CgmresSolver.cpp:146-183``)."""
+    N = config.horizon_divide_num
+    dtype = x.dtype
+    ode = INTEGRATORS[config.ode_solver]
+
+    f1 = lambda tau, xx, uc: problem.state_eq(tau, xx, uc[: problem.dim_u])
+    f_bm = jax.vmap(f1, in_axes=(None, -1, -1), out_axes=-1)
+
+    T = config.steady_horizon_duration * (
+        1.0 - jnp.exp(-config.horizon_increase_ratio * t))
+    h = T / N
+
+    taus = t + h * jnp.arange(N, dtype=dtype)
+
+    def fwd(xx, tu):
+        tau, u = tu
+        xn = ode(f_bm, tau, xx, u, h)
+        return xn, xn
+
+    xN, xs_tail = lax.scan(fwd, x, (taus, u_list))
+    xs = jnp.concatenate([x[None], xs_tail], axis=0)     # [N+1, dim_x, B]
+
+    lmd_N = jax.vmap(problem.dphi_dx_at, in_axes=(None, -1),
+                     out_axes=-1)(t + T, xs[N])
+
+    costate1 = lambda tau, lmd, xu: problem.costate_eq_at(
+        tau, lmd, xu[: problem.dim_x], xu[problem.dim_x:])
+    costate_bm = jax.vmap(costate1, in_axes=(None, -1, -1), out_axes=-1)
+
+    def bwd(lmd_next, inp):
+        tau_next, xx, u = inp
+        xu = jnp.concatenate([xx, u], axis=0)
+        lmd = ode(costate_bm, tau_next, lmd_next, xu, -h)
+        return lmd, lmd_next
+
+    taus_next = t + h * (1.0 + jnp.arange(N, dtype=dtype))
+    _, lmd_next_list = lax.scan(bwd, lmd_N, (taus_next, xs[:-1], u_list),
+                                reverse=True)
+
+    dh1 = jax.vmap(problem.dh_du_at, in_axes=(None, -1, -1, -1), out_axes=-1)
+    dhdu = jax.vmap(dh1)(taus, xs[:-1], u_list, lmd_next_list)
+    return dhdu                                          # [N, dim_uc, B]
+
+
+def _control_step_bm(problem: ContinuousProblem, config: CgmresConfig,
+                     t, xs_b, next_xs_b, states: CgmresState) -> CgmresState:
+    """Batch-minor continuation update for a fleet of controllers.
+
+    Public layout is batch-first (like ``control_step_batch``); the one-time
+    boundary transposes bracket a loop-free body, so everything inside —
+    sweeps, FD products, GMRES recurrences — runs with the batch on the
+    vector lanes.
+    """
+    N = config.horizon_divide_num
+    dlt = config.finite_diff_delta
+    dt = config.dt
+    nuc = problem.dim_uc
+    B = xs_b.shape[0]
+
+    bm = lambda a: jnp.moveaxis(a, 0, -1)
+    x = bm(xs_b)                                         # [dim_x, B]
+    next_x = bm(next_xs_b)
+    u_list = bm(states.u_list)                           # [N, dim_uc, B]
+    du_warm = bm(states.delta_u_vec)                     # [N*dim_uc, B]
+
+    dhdu = _calc_dhdu_list_bm(problem, config, t, x, u_list)
+
+    t_wd = t + dlt
+    x_wd = (1.0 - dlt / dt) * x + (dlt / dt) * next_x
+    dhdu_wd = _calc_dhdu_list_bm(problem, config, t_wd, x_wd, u_list)
+
+    flat = lambda a: a.reshape(N * nuc, B)
+    b = ((1.0 - config.eq_zeta * dlt) * flat(dhdu) - flat(dhdu_wd)) / dlt
+
+    if config.use_jvp:
+        def F(ul):
+            return flat(_calc_dhdu_list_bm(problem, config, t_wd, x_wd, ul))
+
+        def Amul(v):
+            return jax.jvp(F, (u_list,), (v.reshape(N, nuc, B),))[1]
+    else:
+        def Amul(v):
+            ul = u_list + dlt * v.reshape(N, nuc, B)
+            dh = _calc_dhdu_list_bm(problem, config, t_wd, x_wd, ul)
+            return (flat(dh) - flat(dhdu_wd)) / dlt
+
+    du, _, _ = gmres_bm(Amul, b, du_warm, k_max=config.k_max, eps=1e-10)
+
+    u_list_new = u_list + dt * du.reshape(N, nuc, B)
+    bf = lambda a: jnp.moveaxis(a, -1, 0)
+    return CgmresState(
+        u_list=bf(u_list_new),
+        delta_u_vec=bf(du),
+        u=bf(u_list_new[0]),
+        err=jnp.sqrt(jnp.sum(dhdu**2, axis=(0, 1))),
     )
 
 

@@ -39,6 +39,41 @@ def test_centroidal_mpc():
     assert np.linalg.norm(final_x[3:]) < 1.0
 
 
+def test_centroidal_jump_full_scenario(tmp_path):
+    """The reference's full SolveMpc scenario
+    (``TestDDPCentroidalMotion.cpp:238-331``): first solve uncapped, then
+    max_iter=3 warm-started; per-step assertion
+    ``(planned_pos - ref_pos).norm() < 1.0`` (:318); result file in the
+    reference's 25-column layout; trace table from the first solve."""
+    import sys
+
+    sys.path.insert(0, os.getcwd())
+    from examples.centroidal_jump import COLUMNS, run
+
+    out = os.path.join(tmp_path, "result.txt")
+    trace = os.path.join(tmp_path, "trace.txt")
+    rows, pos_errs, xf = run(end_t=3.0, out_path=out, trace_path=trace)
+
+    # reference per-step check (TestDDPCentroidalMotion.cpp:318)
+    assert max(pos_errs) < 1.0
+    # landing: final CoM at the stepped reference
+    ref = np.asarray(example_ref_pos_func()(3.0))
+    assert np.linalg.norm(xf[:3] - ref) < 1e-2
+    assert np.linalg.norm(xf[3:]) < 1.0
+
+    with open(out) as f:
+        header = f.readline().strip()
+    assert header == COLUMNS
+    data = np.loadtxt(out, skiprows=1)
+    assert data.shape == (len(rows), len(COLUMNS.split()))
+    # flight phase (1.4-1.6 s): all contact forces identically zero
+    fl = (data[:, 0] > 1.41) & (data[:, 0] < 1.59)
+    assert np.abs(data[fl][:, 10:13]).max() < 1e-12
+    # warm-started solves capped at 3 iterations (reference :315)
+    assert data[1:, 16].max() <= 3
+    assert os.path.exists(trace)
+
+
 def test_second_order_ddp():
     """Full DDP with autodiff second-order dynamics terms — the feature the
     reference declares but leaves unimplemented (``DDPSolver.hpp:391-414``).

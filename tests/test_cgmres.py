@@ -218,6 +218,39 @@ def test_use_jvp_mode():
     np.testing.assert_allclose(np.asarray(us1), np.asarray(us2), atol=1e-3)
 
 
+def test_lane_blocked_fleet_matches_vmap():
+    """The batch-minor fleet kernel (gmres_bm + batch-minor sweeps) matches
+    vmap-of-single control steps per lane."""
+    import jax
+    problem = make_damper_problem()
+    config = CgmresConfig()
+    solver = CgmresSolver(problem, config)
+    state = solver.setup()
+    B = 5
+    rng = np.random.default_rng(2)
+    xs = jnp.asarray(np.tile([2.0, 0.0], (B, 1))
+                     + 0.1 * rng.normal(size=(B, 2)))
+    next_xs = xs + 0.001 * rng.normal(size=(B, 2))
+    states = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
+
+    out_bm = solver.control_step_batch(0.1, xs, next_xs, states)
+    out_vm = solver._step_batch_vmap(jnp.asarray(0.1), xs, next_xs, states)
+    for leaf_bm, leaf_vm in zip(out_bm, out_vm):
+        np.testing.assert_allclose(np.asarray(leaf_bm), np.asarray(leaf_vm),
+                                   atol=1e-9)
+
+    # several chained steps stay in lockstep
+    st_bm, st_vm = states, states
+    t = 0.1
+    for _ in range(5):
+        st_bm = solver.control_step_batch(t, xs, next_xs, st_bm)
+        st_vm = solver._step_batch_vmap(jnp.asarray(t), xs, next_xs, st_vm)
+        t += config.dt
+    np.testing.assert_allclose(np.asarray(st_bm.u_list),
+                               np.asarray(st_vm.u_list), atol=1e-8)
+
+
 def test_batched_controllers():
     """Batched control steps / simulations match per-instance results."""
     import jax

@@ -9,7 +9,14 @@ costs ~300) maps to u noise ~ noise/Quu ~ 4e-4 in the flat valley — while
 *cost* parity is ~1e-6 relative (the solutions are equally optimal).  The
 audit pins both numbers and the fp32-calibrated termination behavior
 (DDPConfig.for_fp32; with fp64 thresholds the solver cannot detect
-convergence below fp32 noise and escalates lambda to failure)."""
+convergence below fp32 noise and escalates lambda to failure).
+
+The conditioning-floor claim was verified directly (BENCH_RESULTS.md
+"fp32 u-parity floor audit"): running the ENTIRE backward pass in fp64
+inside the otherwise-fp32 pipeline does not improve u-parity (4.4e-4 —
+so compensated/Kahan carries, which are strictly weaker, cannot either),
+while stiffening Quu by 100x tightens it to 1.2e-4 —
+``test_stiff_quu_tightens_parity`` pins that scaling law."""
 
 import numpy as np
 import jax
@@ -62,6 +69,29 @@ def test_fp32_parity_and_termination():
     cb = float(jnp.sum(res_b.costs[0]))
     assert abs(cb - c64) / c64 < 1e-5
     assert int(res_b.status[0]) == DDPStatus.SUCCEEDED
+
+
+def test_stiff_quu_tightens_parity():
+    """The fp32 u-parity floor is conditioning: stiffening the control
+    weight 100x (Quu ~ 2.0 instead of 0.02) narrows the optimality valley
+    and the fp32 solution tracks the fp64 golden ~3x tighter — evidence the
+    floor is curvature-limited, not an accumulation artifact."""
+    cw = __import__("nmpc_tpu.models.cartpole", fromlist=["CartPoleCostWeight"]
+                    ).CartPoleCostWeight(running_u=(0.1,))
+    problem = make_cartpole_problem(DT, cost_weight=cw)
+    solver = DDPSolver(problem,
+                       DDPConfig(horizon_steps=HORIZON, max_iter=50).for_fp32())
+    golden = GoldenDDP(CartPoleGolden(DT, wru=(0.1,)),
+                       GoldenConfig(horizon_steps=HORIZON, max_iter=50))
+    gres = golden.solve(0.0, np.array([0.0, np.pi, 0.0, 0.0]),
+                        np.zeros((HORIZON, 1)))
+    res = solver.solve(jnp.float32(0.0),
+                       jnp.asarray([0.0, np.pi, 0.0, 0.0], jnp.float32),
+                       jnp.zeros((HORIZON, 1), jnp.float32))
+    assert int(res.status) == DDPStatus.SUCCEEDED
+    u64 = gres["us"][:, 0]
+    u32 = np.asarray(res.us)[:, 0]
+    assert np.abs(u32 - u64).max() / np.abs(u64).max() < 1.5e-4
 
 
 def test_fp64_meets_1e4_target():
