@@ -234,6 +234,13 @@ class FmpcConfig:
     # (reference: alpha_s_min = 1e-10 with halving => <= ~35 steps,
     # FmpcSolver.hpp:759-792)
     max_line_search_iter: int = 40
+    # condensed-Riccati kernel for the batched solve path:
+    #   "stacked" — batch-minor XLA scan (solvers/fmpc.py::_backward_bm)
+    #   "pallas"  — fused Pallas TPU kernel with the (s_vec, P) carry
+    #               resident in VMEM (kernels/fmpc_backward_pallas.py;
+    #               requires B % 128 == 0, fp32)
+    #   "auto"    — pallas when eligible on TPU, stacked otherwise
+    backward_impl: str = "auto"
 
 
 @pytree_dataclass

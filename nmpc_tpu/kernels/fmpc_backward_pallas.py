@@ -1,0 +1,336 @@
+"""Pallas TPU kernel: fully-fused FMPC condensed-Riccati backward pass.
+
+One kernel program runs the ENTIRE condensed primal-dual Riccati recursion
+(reference ``FmpcSolver.hpp:524-665``: (s, nu) condensation via the nu/s
+diagonal, F/H/G assembly, the KKT block factorization LLT(G) with the
+LU fallback, and the (s_vec, P) value recursion) for a block of SUB*128
+batch lanes.  The value-function carry (s_vec, P) stays resident in VMEM
+across all N stages; per-stage coefficient slices stream from HBM through
+two double-buffered DMA slots, exactly like the DDP kernel
+(kernels/ddp_backward_pallas.py).
+
+The slack/dual condensation scalings ``nu_s = nu/s`` and
+``tilde = (nu/s)*g_bar - nu + eps/s`` are precomputed OUTSIDE the kernel
+(cheap elementwise XLA, already fused) so the kernel streams 12 per-stage
+quantities and needs no per-lane barrier input.
+
+Layout contract (identical to solvers/fmpc.py::_backward_bm): every input
+is batch-minor with B reshaped to (B4, 128) trailing tiles; outputs are
+  ks [N, nu, B4, 128], Ks [N, nu, nx, B4, 128],
+  svecs [N, nx, B4, 128], Ps [N, nx, nx, B4, 128], ok [B4, 128] (f32 0/1).
+Numerical semantics match ``_backward_bm`` (same unrolled Cholesky with the
+Eigen-LLT pivot>0 failure rule; same partial-pivot Gauss-Jordan fallback as
+``parallel_riccati._inv_bl`` when ``break_if_llt_fails`` is off); parity is
+tested in tests/test_pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nmpc_tpu.kernels.ddp_backward_pallas import (
+    _chol_solve_t,
+    _chol_t,
+    _mm_t,
+    _mv_t,
+    _transpose_t,
+)
+
+
+def _inv_t(A, n):
+    """Unrolled Gauss-Jordan inverse with partial pivoting on tile-matrices
+    (mirrors ``parallel_riccati._inv_bl`` lane-for-lane, so the LU-fallback
+    gains match the stacked XLA path bit-for-bit in spirit)."""
+    a = [[A[i][j] for j in range(n)] for i in range(n)]
+    zeros = jnp.zeros_like(A[0][0])
+    ones = jnp.ones_like(A[0][0])
+    inv = [[ones if i == j else zeros for j in range(n)] for i in range(n)]
+    for col in range(n):
+        for r in range(col + 1, n):
+            swap = jnp.abs(a[r][col]) > jnp.abs(a[col][col])
+            for j in range(n):
+                a[col][j], a[r][j] = (jnp.where(swap, a[r][j], a[col][j]),
+                                      jnp.where(swap, a[col][j], a[r][j]))
+                inv[col][j], inv[r][j] = (
+                    jnp.where(swap, inv[r][j], inv[col][j]),
+                    jnp.where(swap, inv[col][j], inv[r][j]))
+        piv = a[col][col]
+        ipiv = 1.0 / jnp.where(piv == 0, 1e-30, piv)
+        for j in range(n):
+            a[col][j] = a[col][j] * ipiv
+            inv[col][j] = inv[col][j] * ipiv
+        for r in range(n):
+            if r == col:
+                continue
+            f = a[r][col]
+            for j in range(n):
+                a[r][j] = a[r][j] - f * a[col][j]
+                inv[r][j] = inv[r][j] - f * inv[col][j]
+    return inv
+
+
+def _make_kernel(dt: float, break_if_llt_fails: bool,
+                 nx: int, nu: int, ng: int, N: int, SUB: int):
+    """Fused backward kernel with manual double-buffered stage DMA."""
+
+    def kernel(A_hbm, B_hbm, C_hbm, D_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm,
+               xb_hbm, Lxb_hbm, Lub_hbm, nus_hbm, til_hbm,
+               sT_ref, PT_ref,
+               ks_ref, Ks_ref, sv_ref, Ps_ref, ok_ref,
+               A_s, B_s, C_s, D_s, Lxx_s, Luu_s, Lxu_s,
+               xb_s, Lxb_s, Lub_s, nus_s, til_s, sems):
+        g = pl.program_id(0)
+        b0 = g * SUB
+
+        hbm = [A_hbm, B_hbm, C_hbm, D_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm,
+               xb_hbm, Lxb_hbm, Lub_hbm, nus_hbm, til_hbm]
+        scr = [A_s, B_s, C_s, D_s, Lxx_s, Luu_s, Lxu_s,
+               xb_s, Lxb_s, Lub_s, nus_s, til_s]
+
+        def stage_dmas(slot, i):
+            out = []
+            for w, (h, s) in enumerate(zip(hbm, scr)):
+                if h.ndim == 5:
+                    src = h.at[i, :, :, pl.ds(b0, SUB), :]
+                else:
+                    src = h.at[i, :, pl.ds(b0, SUB), :]
+                out.append(pltpu.make_async_copy(src, s.at[slot],
+                                                 sems.at[w, slot]))
+            return out
+
+        for d in stage_dmas(0, N - 1):
+            d.start()
+
+        def load_mat(ref, slot, n, m):
+            return [[ref[slot, a, b] for b in range(m)] for a in range(n)]
+
+        def load_vec(ref, slot, n):
+            return [ref[slot, a] for a in range(n)]
+
+        s_vec = [sT_ref[a] for a in range(nx)]
+        P = [[PT_ref[a, b] for b in range(nx)] for a in range(nx)]
+        ok = jnp.ones_like(s_vec[0])  # f32 0/1 (bool carries won't legalize)
+
+        def body(j, carry):
+            s_vec, P, ok = carry
+            i = N - 1 - j
+            slot = lax.rem(j, 2)
+            next_slot = lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < N)
+            def _():
+                for d in stage_dmas(next_slot, i - 1):
+                    d.start()
+
+            for d in stage_dmas(slot, i):
+                d.wait()
+
+            A = load_mat(A_s, slot, nx, nx)
+            Bm = load_mat(B_s, slot, nx, nu)
+            C = load_mat(C_s, slot, ng, nx)
+            D = load_mat(D_s, slot, ng, nu)
+            Lxx = load_mat(Lxx_s, slot, nx, nx)
+            Luu = load_mat(Luu_s, slot, nu, nu)
+            Lxu = load_mat(Lxu_s, slot, nx, nu)
+            xb = load_vec(xb_s, slot, nx)
+            Lxb = load_vec(Lxb_s, slot, nx)
+            Lub = load_vec(Lub_s, slot, nu)
+            nu_s = load_vec(nus_s, slot, ng)
+            tilde = load_vec(til_s, slot, ng)
+
+            # (s, nu) condensation (FmpcSolver.hpp:572-579)
+            CT = _transpose_t(C, ng, nx)
+            DT = _transpose_t(D, ng, nu)
+            nsC = [[nu_s[a] * C[a][b] for b in range(nx)] for a in range(ng)]
+            nsD = [[nu_s[a] * D[a][b] for b in range(nu)] for a in range(ng)]
+            M = _mm_t(CT, nsC, nx, ng, nx)
+            Qxx = [[dt * Lxx[a][b] + M[a][b] for b in range(nx)]
+                   for a in range(nx)]
+            M = _mm_t(DT, nsD, nu, ng, nu)
+            Quu = [[dt * Luu[a][b] + M[a][b] for b in range(nu)]
+                   for a in range(nu)]
+            M = _mm_t(CT, nsD, nx, ng, nu)
+            Qxu = [[dt * Lxu[a][b] + M[a][b] for b in range(nu)]
+                   for a in range(nx)]
+            t = _mv_t(CT, tilde, nx, ng)
+            Lx_t = [Lxb[a] + t[a] for a in range(nx)]
+            t = _mv_t(DT, tilde, nu, ng)
+            Lu_t = [Lub[a] + t[a] for a in range(nu)]
+
+            # F/H/G assembly (FmpcSolver.hpp:581-583)
+            AT = _transpose_t(A, nx, nx)
+            BT = _transpose_t(Bm, nx, nu)
+            PA = _mm_t(P, A, nx, nx, nx)
+            PB = _mm_t(P, Bm, nx, nx, nu)
+            M = _mm_t(AT, PA, nx, nx, nx)
+            F = [[Qxx[a][b] + M[a][b] for b in range(nx)] for a in range(nx)]
+            M = _mm_t(AT, PB, nx, nx, nu)
+            H = [[Qxu[a][b] + M[a][b] for b in range(nu)] for a in range(nx)]
+            M = _mm_t(BT, PB, nu, nx, nu)
+            G = [[Quu[a][b] + M[a][b] for b in range(nu)] for a in range(nu)]
+
+            # KKT block factorization: LLT(G) + LU fallback
+            # (FmpcSolver.hpp:594-618)
+            Pxb = _mv_t(P, xb, nx, nx)
+            rhs = _mv_t(BT, [Pxb[a] - s_vec[a] for a in range(nx)], nu, nx)
+            rhs_k = [rhs[a] + Lu_t[a] for a in range(nu)]
+            HT = _transpose_t(H, nx, nu)
+            L, pd = _chol_t(G, nu)
+            k_ch = [-v[0]
+                    for v in _chol_solve_t(L, [[r] for r in rhs_k], nu, 1)]
+            Ksol = _chol_solve_t(L, HT, nu, nx)
+            K_ch = [[-Ksol[a][b] for b in range(nx)] for a in range(nu)]
+            if break_if_llt_fails:
+                k, K = k_ch, K_ch
+                ok = ok * pd
+            else:
+                Ginv = _inv_t(G, nu)
+                k_lu = [-v for v in _mv_t(Ginv, rhs_k, nu, nu)]
+                KM = _mm_t(Ginv, HT, nu, nu, nx)
+                k = [jnp.where(pd > 0, k_ch[a], k_lu[a]) for a in range(nu)]
+                K = [[jnp.where(pd > 0, K_ch[a][b], -KM[a][b])
+                      for b in range(nx)] for a in range(nu)]
+
+            # value recursion (FmpcSolver.hpp:633-637)
+            sMx = [s_vec[a] - Pxb[a] for a in range(nx)]
+            t1 = _mv_t(AT, sMx, nx, nx)
+            t2 = _mv_t(H, k, nx, nu)
+            s_new = [t1[a] - Lx_t[a] - t2[a] for a in range(nx)]
+            GK = _mm_t(G, K, nu, nu, nx)
+            KT = _transpose_t(K, nu, nx)
+            T1 = _mm_t(KT, GK, nx, nu, nx)
+            P_new = [[F[a][b] - T1[a][b] for b in range(nx)]
+                     for a in range(nx)]
+            P_sym = [[0.5 * (P_new[a][b] + P_new[b][a]) for b in range(nx)]
+                     for a in range(nx)]
+
+            for a in range(nu):
+                ks_ref[i, a] = k[a]
+                for b in range(nx):
+                    Ks_ref[i, a, b] = K[a][b]
+            for a in range(nx):
+                sv_ref[i, a] = s_new[a]
+                for b in range(nx):
+                    Ps_ref[i, a, b] = P_sym[a][b]
+
+            return (s_new, P_sym, ok)
+
+        _, _, ok = lax.fori_loop(0, N, body, (s_vec, P, ok))
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _fmpc_backward_pallas_call(dt, break_if_llt_fails, nx, nu, ng, N,
+                               A, B, C, D, Lxx, Luu, Lxu,
+                               xb, Lxb, Lub, nu_s, tilde, sT, PT):
+    """Inputs batch-minor with B reshaped to (B4, 128)."""
+    B4 = sT.shape[-2]
+    dtype = A.dtype
+    # VMEM per program: double-buffered outputs + 2 stage slots + carry.
+    out_floats = N * (nu + nu * nx + nx + nx * nx)
+    slot_floats = 2 * (2 * nx * nx + 2 * nx * nu + ng * nx + ng * nu
+                       + nu * nu + 2 * nx + nu + 2 * ng)
+    budget = 11 * 1024 * 1024
+    SUB = B4
+    while SUB > 1 and SUB * 128 * 4 * (2 * out_floats + slot_floats) > budget:
+        SUB //= 2
+    while B4 % SUB != 0:
+        SUB //= 2
+    grid = (B4 // SUB,)
+
+    def vspec(*dims):
+        block = tuple(dims) + (SUB, 128)
+        nlead = len(dims)
+        return pl.BlockSpec(block,
+                            lambda i, nlead=nlead: (0,) * nlead + (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel(dt, break_if_llt_fails, nx, nu, ng, N, SUB)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, nu, B4, 128), dtype),
+        jax.ShapeDtypeStruct((N, nu, nx, B4, 128), dtype),
+        jax.ShapeDtypeStruct((N, nx, B4, 128), dtype),
+        jax.ShapeDtypeStruct((N, nx, nx, B4, 128), dtype),
+        jax.ShapeDtypeStruct((B4, 128), jnp.float32),
+    )
+    out_specs = (vspec(N, nu), vspec(N, nu, nx), vspec(N, nx),
+                 vspec(N, nx, nx), vspec())
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * 12
+                + [vspec(nx), vspec(nx, nx)])
+    scratch = [
+        pltpu.VMEM((2, nx, nx, SUB, 128), dtype),   # A
+        pltpu.VMEM((2, nx, nu, SUB, 128), dtype),   # B
+        pltpu.VMEM((2, ng, nx, SUB, 128), dtype),   # C
+        pltpu.VMEM((2, ng, nu, SUB, 128), dtype),   # D
+        pltpu.VMEM((2, nx, nx, SUB, 128), dtype),   # Lxx
+        pltpu.VMEM((2, nu, nu, SUB, 128), dtype),   # Luu
+        pltpu.VMEM((2, nx, nu, SUB, 128), dtype),   # Lxu
+        pltpu.VMEM((2, nx, SUB, 128), dtype),       # x_bar
+        pltpu.VMEM((2, nx, SUB, 128), dtype),       # Lx_bar
+        pltpu.VMEM((2, nu, SUB, 128), dtype),       # Lu_bar
+        pltpu.VMEM((2, ng, SUB, 128), dtype),       # nu_s
+        pltpu.VMEM((2, ng, SUB, 128), dtype),       # tilde
+        pltpu.SemaphoreType.DMA((12, 2)),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(A, B, C, D, Lxx, Luu, Lxu, xb, Lxb, Lub, nu_s, tilde, sT, PT)
+
+
+def backward_fmpc_pallas(problem, config, co, ss, nus, gms, barrier_eps):
+    """Drop-in for ``solvers.fmpc._backward_bm`` (same signature minus the
+    module split; same batch-minor layout) backed by the fused Pallas kernel.
+
+    Requires B % 128 == 0 and ng >= 1 (the batched solver gates eligibility).
+    Returns (ks, Ks, ss_all [N+1], Ps_all [N+1], ok_pd, finite).
+    """
+    N, ng = co.C.shape[0], co.C.shape[1]
+    nx = co.A.shape[1]
+    nu = co.B.shape[2]
+    B = barrier_eps.shape[0]
+    assert B % 128 == 0, "pallas fmpc backward requires B % 128 == 0"
+    assert ng >= 1
+    B4 = B // 128
+
+    # condensation scalings, precomputed (elementwise; XLA fuses these)
+    gm_e = gms[:, :, None]
+    nu_s = jnp.where(gm_e > 0, nus / ss, 0.0)
+    tilde = jnp.where(
+        gm_e > 0, nu_s * co.g_bar - nus + barrier_eps[None, None, :] / ss, 0.0)
+
+    s_T = -co.Lx_bar_term
+    P_T = co.Lxx_term
+
+    r = lambda a: a.reshape(a.shape[:-1] + (B4, 128))
+    ks, Ks, svecs, Ps, okf = _fmpc_backward_pallas_call(
+        float(problem.dt), bool(config.break_if_llt_fails), nx, nu, ng, N,
+        r(co.A), r(co.B), r(co.C), r(co.D), r(co.Lxx), r(co.Luu), r(co.Lxu),
+        r(co.x_bar), r(co.Lx_bar), r(co.Lu_bar), r(nu_s), r(tilde),
+        r(s_T), r(P_T))
+    unr = lambda a: a.reshape(a.shape[:-2] + (B,))
+    ks, Ks, svecs, Ps = unr(ks), unr(Ks), unr(svecs), unr(Ps)
+    ok = unr(okf) > 0.5
+
+    ss_all = jnp.concatenate([svecs, s_T[None]], axis=0)
+    Ps_all = jnp.concatenate([Ps, P_T[None]], axis=0)
+
+    finite = jnp.ones((B,), dtype=bool)
+    if config.check_nan:
+        def fin(a):
+            return jnp.all(jnp.isfinite(a), axis=tuple(range(a.ndim - 1)))
+        finite = fin(ks) & fin(Ks) & fin(ss_all) & fin(Ps_all)
+    return (ks, Ks, ss_all, Ps_all, ok, finite)

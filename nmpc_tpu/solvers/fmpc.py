@@ -992,6 +992,25 @@ def _solve_batched(problem: Problem, config: FmpcConfig, t0, x0s,
     ws_valid = (jnp.all(var.ss * gm3 >= 0, axis=(0, 1))
                 & jnp.all(var.nus * gm3 >= 0, axis=(0, 1)))
 
+    # condensed-Riccati kernel selection (static at trace time)
+    impl = config.backward_impl
+    if impl == "auto":
+        # the fused Pallas kernel wins on hardware (benchmarks/
+        # bench_backward.py) but requires full 128-lane tiles, fp32, at
+        # least one inequality row, and a real TPU
+        eligible = (B % 128 == 0 and dtype == jnp.float32 and ng >= 1
+                    and jax.default_backend() == "tpu")
+        impl = "pallas" if eligible else "stacked"
+    if impl == "pallas":
+        from nmpc_tpu.kernels.fmpc_backward_pallas import backward_fmpc_pallas
+
+        def backward_fn(co, ss, nus, eps):
+            return backward_fmpc_pallas(problem, config, co, ss, nus, gms,
+                                        eps)
+    else:
+        def backward_fn(co, ss, nus, eps):
+            return _backward_bm(problem, config, co, ss, nus, gms, eps)
+
     def check(var, eps):
         """Barrier update + coefficients + KKT error (FmpcSolver.hpp:377-448),
         all batch-minor."""
@@ -1036,8 +1055,8 @@ def _solve_batched(problem: Problem, config: FmpcConfig, t0, x0s,
         eps = s.eps
         co = s.co
 
-        ks, Ks, ss_vec, Ps, bw_ok, bw_finite = _backward_bm(
-            problem, config, co, var.ss, var.nus, gms, eps)
+        ks, Ks, ss_vec, Ps, bw_ok, bw_finite = backward_fn(
+            co, var.ss, var.nus, eps)
         bw_good = bw_ok & bw_finite
         delta, fw_finite = _forward_bm(problem, config, co, var, x0_b,
                                        ks, Ks, ss_vec, Ps, eps, gms)

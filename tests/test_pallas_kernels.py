@@ -50,6 +50,79 @@ def test_pallas_backward_matches_stacked(interpret_pallas):
     assert bool(jnp.all(o1[3] == o2[3]))
 
 
+def _fmpc_backward_case(break_if_llt_fails):
+    from nmpc_tpu.core.types import FmpcConfig, FmpcVariable
+    from nmpc_tpu.models.oscillator import make_oscillator_problem
+    from nmpc_tpu.solvers import fmpc as F
+    from nmpc_tpu.kernels.fmpc_backward_pallas import backward_fmpc_pallas
+
+    p = make_oscillator_problem(0.01)
+    N, B = 10, 128
+    c = FmpcConfig(horizon_steps=N, max_iter=10,
+                   break_if_llt_fails=break_if_llt_fails)
+    rng = np.random.default_rng(0)
+    f32 = np.float32
+    var = FmpcVariable(
+        xs=jnp.asarray(rng.normal(size=(N + 1, 2, B)).astype(f32) * 0.3),
+        us=jnp.asarray(rng.normal(size=(N, 1, B)).astype(f32) * 0.3),
+        lambdas=jnp.asarray(rng.normal(size=(N + 1, 2, B)).astype(f32) * 0.3),
+        ss=jnp.asarray(0.2 + rng.uniform(size=(N, 3, B)).astype(f32)),
+        nus=jnp.asarray(0.2 + rng.uniform(size=(N, 3, B)).astype(f32)),
+    )
+    ts = jnp.float32(0.0) + p.dt * jnp.arange(N, dtype=jnp.float32)
+    gms = jax.vmap(lambda t: p.ineq_mask_at(t).astype(jnp.float32))(ts)
+    eps = jnp.full((B,), 1e-4, jnp.float32)
+    co = F._coeffs_bm(p, c, jnp.float32(0.0), var)
+
+    o1 = F._backward_bm(p, c, co, var.ss, var.nus, gms, eps)
+    o2 = backward_fmpc_pallas(p, c, co, var.ss, var.nus, gms, eps)
+    return o1, o2
+
+
+@pytest.mark.parametrize("break_if_llt_fails", [False, True])
+def test_pallas_fmpc_backward_matches_stacked(interpret_pallas,
+                                              break_if_llt_fails):
+    """Fused FMPC condensed-Riccati kernel vs the stacked XLA scan
+    (solvers/fmpc.py::_backward_bm; reference FmpcSolver.hpp:524-665)."""
+    o1, o2 = _fmpc_backward_case(break_if_llt_fails)
+    names = ["ks", "Ks", "svecs", "Ps"]
+    for name, a, b in zip(names, o1[:4], o2[:4]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5, err_msg=name)
+    assert bool(jnp.all(o1[4] == o2[4]))  # ok_pd
+    assert bool(jnp.all(o1[5] == o2[5]))  # finite
+
+
+def test_pallas_fmpc_solve_batch_end_to_end(interpret_pallas):
+    """Full batched PDIP solve with backward_impl='pallas' equals the
+    stacked path lane-for-lane (status, iters, all variables)."""
+    from nmpc_tpu.core.types import FmpcConfig, fmpc_variable_reset
+    from nmpc_tpu.models.oscillator import make_oscillator_problem
+    from nmpc_tpu.solvers.fmpc import FmpcSolver
+
+    p = make_oscillator_problem(0.01)
+    N, B = 20, 128
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32) * 0.5)
+    var1 = fmpc_variable_reset(N, 2, 1, 3, dtype=jnp.float32)
+    vars_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), var1)
+    eps0 = jnp.full((B,), 1e-4, jnp.float32)
+
+    outs = {}
+    for impl in ("stacked", "pallas"):
+        c = FmpcConfig(horizon_steps=N, max_iter=5, backward_impl=impl)
+        outs[impl] = FmpcSolver(p, c).solve_batch(0.0, x0s, vars_b, eps0)
+
+    a, b = outs["stacked"], outs["pallas"]
+    assert np.array_equal(np.asarray(a.status), np.asarray(b.status))
+    assert np.array_equal(np.asarray(a.iters), np.asarray(b.iters))
+    np.testing.assert_allclose(np.asarray(b.variable.us),
+                               np.asarray(a.variable.us), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.kkt_error),
+                               np.asarray(a.kkt_error), rtol=2e-2)
+
+
 def test_pallas_backward_reg_type2(interpret_pallas):
     from nmpc_tpu.core.types import DDPConfig
     from nmpc_tpu.models.cartpole import make_cartpole_problem
