@@ -84,11 +84,21 @@ def device_time(f: Callable, *args, reps: int = 8, warmup: int = 2,
 
 
 def device_time_min(f: Callable, *args, reps: int = 8, trials: int = 3,
-                    warmup: int = 2) -> float:
-    """Min-of-trials :func:`device_time` (robust to tunnel jitter)."""
+                    warmup: int = 2, min_elapsed: float = 0.25) -> float:
+    """Min-of-trials :func:`device_time` (robust to tunnel jitter).
+
+    ``reps`` is auto-scaled so each trial accumulates at least
+    ``min_elapsed`` seconds of device work: the RTT subtraction is only
+    sound when the measured window dwarfs the RTT jitter (~±2-3 ms through
+    the tunnel).  With the old fixed ``reps``, sub-millisecond kernels were
+    measured inside a window smaller than the jitter, flipping speedup
+    ratios between runs by ±50%.
+    """
     rtt = measure_rtt()
+    # pilot to estimate per-call time, then scale reps to the target window
+    t_pilot = device_time(f, *args, reps=reps, warmup=warmup, rtt=rtt)
+    need = int(min(20000, max(reps, -(-min_elapsed // max(t_pilot, 1e-8)))))
     ts = []
-    for i in range(trials):
-        ts.append(device_time(f, *args, reps=reps,
-                              warmup=warmup if i == 0 else 1, rtt=rtt))
+    for _ in range(trials):
+        ts.append(device_time(f, *args, reps=need, warmup=1, rtt=rtt))
     return min(ts)

@@ -102,6 +102,10 @@ class DDPConfig:
     def __post_init__(self):
         if self.boxqp is None:
             object.__setattr__(self, "boxqp", BoxQPConfig())
+        if self.backward_impl not in ("auto", "stacked", "pallas"):
+            raise ValueError(
+                f"DDPConfig.backward_impl must be one of 'auto', 'stacked', "
+                f"'pallas'; got {self.backward_impl!r}")
 
     def for_fp32(self, cost_scale: float = 1e3) -> "DDPConfig":
         """fp32-calibrated termination thresholds (SURVEY §7 "fp precision").
@@ -241,6 +245,12 @@ class FmpcConfig:
     #               requires B % 128 == 0, fp32)
     #   "auto"    — pallas when eligible on TPU, stacked otherwise
     backward_impl: str = "auto"
+
+    def __post_init__(self):
+        if self.backward_impl not in ("auto", "stacked", "pallas"):
+            raise ValueError(
+                f"FmpcConfig.backward_impl must be one of 'auto', 'stacked', "
+                f"'pallas'; got {self.backward_impl!r}")
 
 
 @pytree_dataclass

@@ -7,7 +7,9 @@ LU fallback, and the (s_vec, P) value recursion) for a block of SUB*128
 batch lanes.  The value-function carry (s_vec, P) stays resident in VMEM
 across all N stages; per-stage coefficient slices stream from HBM through
 two double-buffered DMA slots, exactly like the DDP kernel
-(kernels/ddp_backward_pallas.py).
+(kernels/ddp_backward_pallas.py), and per-stage outputs (k, K, s_vec, P)
+stream back to HBM through another pair of double-buffered slots, so the
+VMEM footprint is independent of the horizon length N.
 
 The slack/dual condensation scalings ``nu_s = nu/s`` and
 ``tilde = (nu/s)*g_bar - nu + eps/s`` are precomputed OUTSIDE the kernel
@@ -75,6 +77,51 @@ def _inv_t(A, n):
     return inv
 
 
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _vmem_floats(nx: int, nu: int, ng: int, SUB: int) -> int:
+    """Per-program VMEM footprint (floats) at a given SUB block size:
+    2 input stage-DMA slots + 2 output stage-DMA slots + (sT, PT) blocks.
+    Outputs stream back to HBM per stage, so the footprint is independent
+    of the horizon length N."""
+    in_slot = 2 * (2 * nx * nx + 2 * nx * nu + ng * nx + ng * nu
+                   + nu * nu + 2 * nx + nu + 2 * ng)
+    out_slot = 2 * (nu + nu * nx + nx + nx * nx)
+    return SUB * 128 * (in_slot + out_slot + nx + nx * nx)
+
+
+def _sub_candidates(B4: int):
+    """Valid SUB block sizes, largest first: Mosaic requires the
+    second-to-last block dim to be a multiple of 8 or equal to the full
+    array dim, so SUB is either B4 itself or a multiple of 8 dividing B4."""
+    cands = [B4]
+    s = 512
+    while s >= 8:
+        if s < B4 and B4 % s == 0:
+            cands.append(s)
+        s //= 2
+    return cands
+
+
+def _pick_sub(nx: int, nu: int, ng: int, B4: int):
+    for SUB in _sub_candidates(B4):
+        if _vmem_floats(nx, nu, ng, SUB) * 4 <= _VMEM_BUDGET:
+            return SUB
+    return None
+
+
+def fmpc_pallas_fits_vmem(nx: int, nu: int, ng: int, N: int,
+                          B: int = 128) -> bool:
+    """True when the kernel has a legal block size within the VMEM budget.
+    The ``backward_impl='auto'`` eligibility check in solvers/fmpc.py uses
+    this so oversized problems fall back to the stacked path instead of
+    failing at runtime with a Mosaic error.  (N is accepted for signature
+    stability; the streamed-output kernel's footprint is N-independent.)"""
+    del N
+    return B % 128 == 0 and _pick_sub(nx, nu, ng, B // 128) is not None
+
+
 def _make_kernel(dt: float, break_if_llt_fails: bool,
                  nx: int, nu: int, ng: int, N: int, SUB: int):
     """Fused backward kernel with manual double-buffered stage DMA."""
@@ -84,7 +131,8 @@ def _make_kernel(dt: float, break_if_llt_fails: bool,
                sT_ref, PT_ref,
                ks_ref, Ks_ref, sv_ref, Ps_ref, ok_ref,
                A_s, B_s, C_s, D_s, Lxx_s, Luu_s, Lxu_s,
-               xb_s, Lxb_s, Lub_s, nus_s, til_s, sems):
+               xb_s, Lxb_s, Lub_s, nus_s, til_s,
+               ks_o, Ks_o, sv_o, Ps_o, sems, osems):
         g = pl.program_id(0)
         b0 = g * SUB
 
@@ -102,6 +150,21 @@ def _make_kernel(dt: float, break_if_llt_fails: bool,
                     src = h.at[i, :, pl.ds(b0, SUB), :]
                 out.append(pltpu.make_async_copy(src, s.at[slot],
                                                  sems.at[w, slot]))
+            return out
+
+        out_hbm = [ks_ref, Ks_ref, sv_ref, Ps_ref]
+        out_scr = [ks_o, Ks_o, sv_o, Ps_o]
+
+        def out_dmas(slot, i):
+            """Streamed per-stage output copies VMEM slot -> HBM[i]."""
+            out = []
+            for w, (h, s) in enumerate(zip(out_hbm, out_scr)):
+                if h.ndim == 5:
+                    dst = h.at[i, :, :, pl.ds(b0, SUB), :]
+                else:
+                    dst = h.at[i, :, pl.ds(b0, SUB), :]
+                out.append(pltpu.make_async_copy(s.at[slot], dst,
+                                                 osems.at[w, slot]))
             return out
 
         for d in stage_dmas(0, N - 1):
@@ -130,6 +193,13 @@ def _make_kernel(dt: float, break_if_llt_fails: bool,
 
             for d in stage_dmas(slot, i):
                 d.wait()
+
+            # the output slot we are about to overwrite was DMA'd out two
+            # stages ago (stage i+2); wait for that copy to land first
+            @pl.when(j >= 2)
+            def _():
+                for d in out_dmas(slot, i + 2):
+                    d.wait()
 
             A = load_mat(A_s, slot, nx, nx)
             Bm = load_mat(B_s, slot, nx, nu)
@@ -211,17 +281,25 @@ def _make_kernel(dt: float, break_if_llt_fails: bool,
                      for a in range(nx)]
 
             for a in range(nu):
-                ks_ref[i, a] = k[a]
+                ks_o[slot, a] = k[a]
                 for b in range(nx):
-                    Ks_ref[i, a, b] = K[a][b]
+                    Ks_o[slot, a, b] = K[a][b]
             for a in range(nx):
-                sv_ref[i, a] = s_new[a]
+                sv_o[slot, a] = s_new[a]
                 for b in range(nx):
-                    Ps_ref[i, a, b] = P_sym[a][b]
+                    Ps_o[slot, a, b] = P_sym[a][b]
+            for d in out_dmas(slot, i):
+                d.start()
 
             return (s_new, P_sym, ok)
 
         _, _, ok = lax.fori_loop(0, N, body, (s_vec, P, ok))
+        # drain the in-flight output copies (stages i=0 and i=1)
+        for d in out_dmas((N - 1) % 2, 0):
+            d.wait()
+        if N >= 2:
+            for d in out_dmas((N - 2) % 2, 1):
+                d.wait()
         ok_ref[:, :] = ok
 
     return kernel
@@ -234,16 +312,14 @@ def _fmpc_backward_pallas_call(dt, break_if_llt_fails, nx, nu, ng, N,
     """Inputs batch-minor with B reshaped to (B4, 128)."""
     B4 = sT.shape[-2]
     dtype = A.dtype
-    # VMEM per program: double-buffered outputs + 2 stage slots + carry.
-    out_floats = N * (nu + nu * nx + nx + nx * nx)
-    slot_floats = 2 * (2 * nx * nx + 2 * nx * nu + ng * nx + ng * nu
-                       + nu * nu + 2 * nx + nu + 2 * ng)
-    budget = 11 * 1024 * 1024
-    SUB = B4
-    while SUB > 1 and SUB * 128 * 4 * (2 * out_floats + slot_floats) > budget:
-        SUB //= 2
-    while B4 % SUB != 0:
-        SUB //= 2
+    # VMEM per program: 2 input stage slots + 2 output stage slots + carry.
+    # SUB must be B4 or a multiple of 8 dividing B4 (Mosaic block rule).
+    SUB = _pick_sub(nx, nu, ng, B4)
+    if SUB is None:
+        raise ValueError(
+            f"FMPC Pallas backward has no legal block size within the "
+            f"~11MiB VMEM budget (nx={nx}, nu={nu}, ng={ng}, B4={B4}); "
+            f"use backward_impl='stacked' for this problem shape")
     grid = (B4 // SUB,)
 
     def vspec(*dims):
@@ -261,8 +337,15 @@ def _fmpc_backward_pallas_call(dt, break_if_llt_fails, nx, nu, ng, N,
         jax.ShapeDtypeStruct((N, nx, nx, B4, 128), dtype),
         jax.ShapeDtypeStruct((B4, 128), jnp.float32),
     )
-    out_specs = (vspec(N, nu), vspec(N, nu, nx), vspec(N, nx),
-                 vspec(N, nx, nx), vspec())
+    # the 4 trajectory outputs stay in HBM and are written by streamed
+    # per-stage DMAs from double-buffered VMEM slots, so VMEM use does not
+    # grow with N (the r2 kernel held all N stages resident and hit the
+    # Mosaic block-size wall at N=100)
+    out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY),
+                 vspec())
     in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * 12
                 + [vspec(nx), vspec(nx, nx)])
     scratch = [
@@ -278,7 +361,12 @@ def _fmpc_backward_pallas_call(dt, break_if_llt_fails, nx, nu, ng, N,
         pltpu.VMEM((2, nu, SUB, 128), dtype),       # Lu_bar
         pltpu.VMEM((2, ng, SUB, 128), dtype),       # nu_s
         pltpu.VMEM((2, ng, SUB, 128), dtype),       # tilde
+        pltpu.VMEM((2, nu, SUB, 128), dtype),       # ks out slot
+        pltpu.VMEM((2, nu, nx, SUB, 128), dtype),   # Ks out slot
+        pltpu.VMEM((2, nx, SUB, 128), dtype),       # svec out slot
+        pltpu.VMEM((2, nx, nx, SUB, 128), dtype),   # P out slot
         pltpu.SemaphoreType.DMA((12, 2)),
+        pltpu.SemaphoreType.DMA((4, 2)),
     ]
 
     return pl.pallas_call(
@@ -304,6 +392,11 @@ def backward_fmpc_pallas(problem, config, co, ss, nus, gms, barrier_eps):
     B = barrier_eps.shape[0]
     assert B % 128 == 0, "pallas fmpc backward requires B % 128 == 0"
     assert ng >= 1
+    if not fmpc_pallas_fits_vmem(nx, nu, ng, N, B):
+        raise ValueError(
+            f"FMPC Pallas backward does not fit the ~11MiB VMEM budget at "
+            f"any legal block size (nx={nx}, nu={nu}, ng={ng}, B={B}); "
+            f"use backward_impl='stacked' for this problem shape")
     B4 = B // 128
 
     # condensation scalings, precomputed (elementwise; XLA fuses these)

@@ -995,11 +995,21 @@ def _solve_batched(problem: Problem, config: FmpcConfig, t0, x0s,
     # condensed-Riccati kernel selection (static at trace time)
     impl = config.backward_impl
     if impl == "auto":
-        # the fused Pallas kernel wins on hardware (benchmarks/
-        # bench_backward.py) but requires full 128-lane tiles, fp32, at
-        # least one inequality row, and a real TPU
+        # The fused Pallas kernel wins on hardware (benchmarks/
+        # bench_fmpc_backward.py) but requires full 128-lane tiles, fp32,
+        # at least one inequality row, a real TPU, and a shape that fits
+        # the VMEM budget at SUB=1.  Parity contract: converged lanes match
+        # the stacked path to ~1e-6 and status/iters match exactly; on
+        # DIVERGING lanes (KKT blowing up) trajectories differ at the level
+        # of the solve's intrinsic fp32 sensitivity — a 1-ulp x0
+        # perturbation of the stacked path alone produces the same-order
+        # difference (tools/debug_fmpc_pallas.py, pinned by
+        # tests/test_pallas_kernels.py::test_pallas_fmpc_solve_batch_*).
+        from nmpc_tpu.kernels.fmpc_backward_pallas import (
+            fmpc_pallas_fits_vmem)
         eligible = (B % 128 == 0 and dtype == jnp.float32 and ng >= 1
-                    and jax.default_backend() == "tpu")
+                    and jax.default_backend() == "tpu"
+                    and fmpc_pallas_fits_vmem(nx, nu_dim, ng, N, B))
         impl = "pallas" if eligible else "stacked"
     if impl == "pallas":
         from nmpc_tpu.kernels.fmpc_backward_pallas import backward_fmpc_pallas

@@ -93,34 +93,149 @@ def test_pallas_fmpc_backward_matches_stacked(interpret_pallas,
     assert bool(jnp.all(o1[5] == o2[5]))  # finite
 
 
-def test_pallas_fmpc_solve_batch_end_to_end(interpret_pallas):
-    """Full batched PDIP solve with backward_impl='pallas' equals the
-    stacked path lane-for-lane (status, iters, all variables)."""
+def _fmpc_solve_both(max_iter, x0_scale, seed=2, B=128, N=20):
     from nmpc_tpu.core.types import FmpcConfig, fmpc_variable_reset
     from nmpc_tpu.models.oscillator import make_oscillator_problem
     from nmpc_tpu.solvers.fmpc import FmpcSolver
 
     p = make_oscillator_problem(0.01)
-    N, B = 20, 128
-    rng = np.random.default_rng(2)
-    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32) * 0.5)
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32) * x0_scale)
     var1 = fmpc_variable_reset(N, 2, 1, 3, dtype=jnp.float32)
     vars_b = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (B,) + a.shape), var1)
     eps0 = jnp.full((B,), 1e-4, jnp.float32)
-
     outs = {}
     for impl in ("stacked", "pallas"):
-        c = FmpcConfig(horizon_steps=N, max_iter=5, backward_impl=impl)
+        c = FmpcConfig(horizon_steps=N, max_iter=max_iter, backward_impl=impl,
+                       init_complementary_variable=True)
         outs[impl] = FmpcSolver(p, c).solve_batch(0.0, x0s, vars_b, eps0)
+    return outs["stacked"], outs["pallas"]
 
-    a, b = outs["stacked"], outs["pallas"]
+
+def test_pallas_fmpc_solve_batch_end_to_end(interpret_pallas):
+    """Full batched PDIP solve with backward_impl='pallas' vs the stacked
+    path: the parity contract is CONVERGED-lane agreement.
+
+    Evidence for the contract (tools/debug_fmpc_pallas.py, measured on this
+    exact problem): single-backward parity is ~2e-7 relative (the kernel is
+    numerically equivalent to the stacked scan), but the PDIP iteration is
+    chaotic on lanes whose KKT error is blowing up — a 1-ulp perturbation
+    of x0 on the STACKED PATH ALONE produces max|du| = 2e-3 after 5
+    iterations, larger than the pallas-vs-stacked difference.  Trajectory
+    parity on diverging lanes is therefore not a property either
+    implementation has against itself; the meaningful contract is that
+    converged lanes agree tightly and the SET of converged lanes is
+    identical (measured converged-lane max|du| = 9.5e-7).  Diverging lanes
+    may differ even in which failure status they hit (ERROR_IN_BACKWARD vs
+    MAX_ITERATION_REACHED: which iteration produces the first non-finite
+    value is itself chaotic), so failure modes are not asserted."""
+    from nmpc_tpu.core.types import FmpcStatus
+
+    a, b = _fmpc_solve_both(max_iter=20, x0_scale=0.3)
+    st_a = np.asarray(a.status)
+    st_b = np.asarray(b.status)
+    conv = st_a == int(FmpcStatus.SUCCEEDED)
+    assert np.array_equal(conv, st_b == int(FmpcStatus.SUCCEEDED))
+    assert conv.sum() >= 32  # the contract must bite on a real population
+    us_a = np.asarray(a.variable.us)[conv]
+    us_b = np.asarray(b.variable.us)[conv]
+    np.testing.assert_allclose(us_b, us_a, atol=1e-5)
+    kkt_a = np.asarray(a.kkt_error)[conv]
+    kkt_b = np.asarray(b.kkt_error)[conv]
+    np.testing.assert_allclose(kkt_b, kkt_a, atol=1e-4)
+
+
+def test_pallas_fmpc_solve_batch_pre_chaos_parity(interpret_pallas):
+    """Before the chaotic amplification kicks in (2 PDIP iterations), the
+    full batch — including lanes that will later diverge — matches the
+    stacked path tightly (measured max|du| = 6.7e-8 at k=2)."""
+    a, b = _fmpc_solve_both(max_iter=2, x0_scale=0.5)
     assert np.array_equal(np.asarray(a.status), np.asarray(b.status))
     assert np.array_equal(np.asarray(a.iters), np.asarray(b.iters))
     np.testing.assert_allclose(np.asarray(b.variable.us),
-                               np.asarray(a.variable.us), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(b.kkt_error),
-                               np.asarray(a.kkt_error), rtol=2e-2)
+                               np.asarray(a.variable.us), atol=1e-5)
+
+
+def _make_two_input_problem():
+    """Synthetic nx=2, nu=2, ng=2 problem so G is a genuine 2x2 block and
+    the Gauss-Jordan tile inverse (_inv_t) runs its pivoting logic."""
+    from nmpc_tpu.core.problem import Problem
+
+    dt = 0.02
+
+    def dyn(t, x, u):
+        A = jnp.array([[1.0, dt], [-0.3 * dt, 1.0 - 0.1 * dt]], x.dtype)
+        B = jnp.array([[0.5 * dt, 0.0], [dt, 0.7 * dt]], x.dtype)
+        return A @ x + B @ u
+
+    def rc(t, x, u):
+        return 0.5 * (jnp.sum(x * x) + 0.1 * jnp.sum(u * u))
+
+    def tc(t, x):
+        return 0.5 * jnp.sum(x * x)
+
+    def g(t, x, u):
+        return jnp.array([u[0] - 1.0, -u[1] - 1.0], x.dtype)
+
+    return Problem(dt=dt, state_dim=2, input_dim=2, dynamics=dyn,
+                   running_cost=rc, terminal_cost=tc, ineq_dim=2,
+                   ineq_const=g)
+
+
+@pytest.mark.parametrize("break_if_llt_fails", [False, True])
+def test_pallas_fmpc_backward_nonpd_fallback(interpret_pallas,
+                                             break_if_llt_fails):
+    """Non-PD G stages: with break_if_llt_fails=False the Gauss-Jordan LU
+    fallback (_inv_t) must match the stacked path's _inv_bl gains; with
+    True the ok_pd=False flag must propagate identically
+    (reference LDLT -> FullPivLU fallback, FmpcSolver.hpp:594-618)."""
+    from nmpc_tpu.core.types import FmpcConfig, FmpcVariable
+    from nmpc_tpu.solvers import fmpc as F
+    from nmpc_tpu.kernels.fmpc_backward_pallas import backward_fmpc_pallas
+
+    p = _make_two_input_problem()
+    N, B = 8, 128
+    c = FmpcConfig(horizon_steps=N, max_iter=10,
+                   break_if_llt_fails=break_if_llt_fails)
+    rng = np.random.default_rng(7)
+    f32 = np.float32
+    var = FmpcVariable(
+        xs=jnp.asarray(rng.normal(size=(N + 1, 2, B)).astype(f32) * 0.3),
+        us=jnp.asarray(rng.normal(size=(N, 2, B)).astype(f32) * 0.3),
+        lambdas=jnp.asarray(rng.normal(size=(N + 1, 2, B)).astype(f32) * 0.3),
+        ss=jnp.asarray(0.2 + rng.uniform(size=(N, 2, B)).astype(f32)),
+        nus=jnp.asarray(0.2 + rng.uniform(size=(N, 2, B)).astype(f32)),
+    )
+    ts = jnp.float32(0.0) + p.dt * jnp.arange(N, dtype=jnp.float32)
+    gms = jax.vmap(lambda t: p.ineq_mask_at(t).astype(jnp.float32))(ts)
+    eps = jnp.full((B,), 1e-4, jnp.float32)
+    co = F._coeffs_bm(p, c, jnp.float32(0.0), var)
+
+    # poison Luu on stages 2 and 5 so G = dt*Luu + D'(nu/s)D + B'PB goes
+    # solidly indefinite there (half the batch, to also test mixed lanes)
+    bad = np.zeros((N, 1, 1, B), np.float32)
+    bad[2, :, :, : B // 2] = 1.0
+    bad[5, :, :, : B // 2] = 1.0
+    eye = np.eye(2, dtype=np.float32)[None, :, :, None]
+    Luu_bad = jnp.asarray(
+        np.asarray(co.Luu) * (1.0 - bad) + bad * (-400.0) * eye)
+    co = co._replace(Luu=Luu_bad)
+
+    o1 = F._backward_bm(p, c, co, var.ss, var.nus, gms, eps)
+    o2 = backward_fmpc_pallas(p, c, co, var.ss, var.nus, gms, eps)
+    ok_pd = np.asarray(o1[4])
+    if break_if_llt_fails:
+        assert not ok_pd[: B // 2].any()   # poisoned lanes flagged
+        assert ok_pd[B // 2:].all()        # clean lanes unaffected
+    else:
+        assert ok_pd.all()
+        names = ["ks", "Ks", "svecs", "Ps"]
+        for name, x, y in zip(names, o1[:4], o2[:4]):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       atol=5e-4, err_msg=name)
+    assert np.array_equal(np.asarray(o1[4]), np.asarray(o2[4]))  # ok_pd
+    assert np.array_equal(np.asarray(o1[5]), np.asarray(o2[5]))  # finite
 
 
 def test_pallas_backward_reg_type2(interpret_pallas):
