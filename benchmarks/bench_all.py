@@ -143,6 +143,40 @@ def bench_cgmres_damper():
             "vs_baseline": round((B / dt) / 1000.0, 3)}  # ref budget: 1 kHz
 
 
+def bench_cgmres_fleet_closed_loop():
+    """Closed-loop fleet simulation: 512 damper controllers, 100 control
+    steps each, fully on device.  r3: ``simulate_batch`` now scans the
+    lane-blocked ``_control_step_bm_core`` (one boundary transpose outside
+    the scan) instead of vmap-of-single ``_simulate``; both are timed so
+    the end-to-end win of the fleet kernel is visible, not just the
+    isolated-step 8.5x (VERDICT r2 item #3)."""
+    import jax as _jax
+    from nmpc_tpu import CgmresConfig, CgmresSolver
+    from nmpc_tpu.models.damper import make_damper_problem
+
+    problem = make_damper_problem()
+    config = CgmresConfig()
+    solver = CgmresSolver(problem, config)
+    state = solver.setup()
+    B, n_steps = 512, 100
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray((np.tile([2.0, 0.0], (B, 1))
+                      + 0.1 * rng.normal(size=(B, 2))).astype(np.float32))
+    states = _jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a.astype(jnp.float32), (B,) + a.shape),
+        state)
+    t0 = jnp.float32(0.0)
+    dt_bm = _timeit(lambda: solver.simulate_batch(t0, xs, states, n_steps),
+                    n=8)
+    dt_vm = _timeit(lambda: solver._sim_batch_vmap(t0, xs, states, n_steps),
+                    n=8)
+    steps_per_s = B * n_steps / dt_bm
+    return {"metric": "cgmres_fleet_closed_loop_steps_per_s",
+            "value": round(steps_per_s, 1), "unit": "ctrl-steps/s",
+            "vs_baseline": round(steps_per_s / 1000.0, 3),  # ref: 1 kHz tick
+            "speedup_vs_vmap_of_single": round(dt_vm / dt_bm, 2)}
+
+
 def bench_p99_latency():
     """p99 per-MPC-tick device latency vs the 4 ms cart-pole budget
     (``TestDDPCartPole.cpp:302``: mpc_dt = 4 ms, max_iter = 3, horizon 200).
@@ -220,7 +254,8 @@ def bench_parallel_riccati():
 
 
 ALL = [bench_ddp_cartpole, bench_ddp_bipedal, bench_boxed_ddp_vertical,
-       bench_fmpc_oscillator, bench_cgmres_damper, bench_p99_latency,
+       bench_fmpc_oscillator, bench_cgmres_damper,
+       bench_cgmres_fleet_closed_loop, bench_p99_latency,
        bench_parallel_riccati]
 
 

@@ -90,12 +90,20 @@ class CgmresSolver:
         self._step_batch_vmap = jax.jit(jax.vmap(
             functools.partial(_control_step, problem, config),
             in_axes=(None, 0, 0, 0)))
-        def _sim_batch(t0, x0s, states, n_steps):
+        # batched closed loop rides the lane-blocked kernel end-to-end
+        # (boundary transposes once, outside the scan); the vmap-of-single
+        # variant is retained for parity testing as _sim_batch_vmap
+        self._sim_batch = jax.jit(
+            functools.partial(_simulate_bm, problem, config),
+            static_argnames=("n_steps",))
+
+        def _sim_batch_vmap(t0, x0s, states, n_steps):
             return jax.vmap(
                 lambda x0, st: _simulate(problem, config, t0, x0, st,
                                          n_steps=n_steps))(x0s, states)
 
-        self._sim_batch = jax.jit(_sim_batch, static_argnames=("n_steps",))
+        self._sim_batch_vmap = jax.jit(_sim_batch_vmap,
+                                       static_argnames=("n_steps",))
 
     def setup(self, t0=0.0, x0=None, u0=None) -> CgmresState:
         """Initial input via Newton+GMRES on dH/du = 0
@@ -117,7 +125,7 @@ class CgmresSolver:
     def simulate_batch(self, t0, x0s, states, n_steps: int):
         """Batched on-device closed-loop simulations."""
         return self._sim_batch(jnp.asarray(t0, x0s.dtype), x0s, states,
-                               n_steps)
+                               n_steps=n_steps)
 
     def simulate(self, t0=0.0, x0=None, n_steps: Optional[int] = None):
         """Fully-on-device closed-loop simulation (``CgmresSolver::run``,
@@ -312,8 +320,14 @@ def _setup(problem: ContinuousProblem, config: CgmresConfig, t0, x0, u0
 def gmres_bm(Amul, b, x0, k_max: int, eps: float = 1e-10):
     """Batch-minor GMRES: ``b``/``x0`` are [n, B]; ``Amul`` maps [n, B] ->
     [n, B] (all lanes at once).  Per-lane convergence masking reproduces
-    ``gmres``-under-vmap semantics exactly (Givens mode, reorth on).
-    Returns (x [n, B], iters, rho [B])."""
+    ``gmres``-under-vmap semantics (Givens mode, reorth on): each lane
+    freezes its own Arnoldi state once converged and the back-substitution
+    truncates at that lane's OWN freeze iteration ``k_lane`` — a lane that
+    converges at k=1 in a batch whose slowest lane runs to k_max leaves
+    zero Hessenberg diagonals beyond its freeze point, and dividing by them
+    (the r2 bug) produced NaN for exactly the early-converging lanes a real
+    fleet has (controllers near steady state).
+    Returns (x [n, B], iters per lane [B], rho [B])."""
     n, B = b.shape
     dtype = b.dtype
     k_max = min(k_max, n)
@@ -331,6 +345,7 @@ def gmres_bm(Amul, b, x0, k_max: int, eps: float = 1e-10):
 
     class Carry(NamedTuple):
         k: jnp.ndarray
+        k_lane: jnp.ndarray  # [B] per-lane freeze iteration
         V: jnp.ndarray
         H: jnp.ndarray
         g: jnp.ndarray
@@ -397,6 +412,7 @@ def gmres_bm(Amul, b, x0, k_max: int, eps: float = 1e-10):
 
         return Carry(
             k=k + 1,
+            k_lane=jnp.where(act, k + 1, c.k_lane),
             V=V,
             H=c.H.at[:, k].set(jnp.where(act, hcol, c.H[:, k])),
             g=gnew,
@@ -405,27 +421,32 @@ def gmres_bm(Amul, b, x0, k_max: int, eps: float = 1e-10):
             rho=rho,
         )
 
-    out = lax.while_loop(cond, body, Carry(jnp.int32(0), V, H, g, cs, sn,
-                                           rho0))
+    out = lax.while_loop(cond, body,
+                         Carry(jnp.int32(0), jnp.zeros((B,), jnp.int32),
+                               V, H, g, cs, sn, rho0))
 
-    # per-lane masked back-substitution, unrolled over the small k_max
-    # (lanes that converged at different k solve their own truncations:
-    # inactive rows get unit diagonal / zero rhs -> y = 0)
-    k_fin = out.k  # global iteration count (vmap semantics: shared)
+    # per-lane masked back-substitution, unrolled over the small k_max.
+    # Each lane's Hessenberg/residual state froze at its OWN iteration
+    # k_lane (H columns >= k_lane are untouched zeros for that lane), so
+    # each lane solves its own truncation: rows >= k_lane get unit
+    # diagonal / zero rhs -> y = 0, exactly the single-solver's masked
+    # back-substitution (gmres.py:180-191) per lane.
+    k_lane = out.k_lane                                  # [B]
     idx = jnp.arange(k_max)
-    act_row = (idx < k_fin)[:, None]                     # [k_max, 1]
+    act_row = idx[:, None] < k_lane[None, :]             # [k_max, B]
     rhs = jnp.where(act_row, out.g[:k_max], 0.0)         # [k_max, B]
     y = [None] * k_max
     for i in reversed(range(k_max)):
         s = rhs[i]
         for j in range(i + 1, k_max):
             s = s - out.H[i, j] * y[j]
-        diag = jnp.where(idx[i] < k_fin, out.H[i, i], 1.0)
-        y[i] = jnp.where(idx[i] < k_fin, s / diag, jnp.zeros_like(s))
+        lane_on = i < k_lane                             # [B]
+        diag = jnp.where(lane_on, out.H[i, i], 1.0)
+        y[i] = jnp.where(lane_on, s / diag, jnp.zeros_like(s))
     y = jnp.stack(y, axis=0)                             # [k_max, B]
 
     x = x0 + jnp.sum(out.V[:k_max] * y[:, None, :], axis=0)
-    return x, out.k, out.rho
+    return x, k_lane, out.rho
 
 
 def _calc_dhdu_list_bm(problem: ContinuousProblem, config: CgmresConfig,
@@ -475,26 +496,18 @@ def _calc_dhdu_list_bm(problem: ContinuousProblem, config: CgmresConfig,
     return dhdu                                          # [N, dim_uc, B]
 
 
-def _control_step_bm(problem: ContinuousProblem, config: CgmresConfig,
-                     t, xs_b, next_xs_b, states: CgmresState) -> CgmresState:
-    """Batch-minor continuation update for a fleet of controllers.
-
-    Public layout is batch-first (like ``control_step_batch``); the one-time
-    boundary transposes bracket a loop-free body, so everything inside —
-    sweeps, FD products, GMRES recurrences — runs with the batch on the
-    vector lanes.
-    """
+def _control_step_bm_core(problem: ContinuousProblem, config: CgmresConfig,
+                          t, x, next_x, u_list, du_warm):
+    """Batch-minor continuation-update body: x/next_x [dim_x, B],
+    u_list [N, dim_uc, B], du_warm [N*dim_uc, B].
+    Returns (u_list_new, du, err) in the same layout — no transposes, so
+    callers that already hold batch-minor state (the fleet simulation scan)
+    pay zero per-step layout cost."""
     N = config.horizon_divide_num
     dlt = config.finite_diff_delta
     dt = config.dt
     nuc = problem.dim_uc
-    B = xs_b.shape[0]
-
-    bm = lambda a: jnp.moveaxis(a, 0, -1)
-    x = bm(xs_b)                                         # [dim_x, B]
-    next_x = bm(next_xs_b)
-    u_list = bm(states.u_list)                           # [N, dim_uc, B]
-    du_warm = bm(states.delta_u_vec)                     # [N*dim_uc, B]
+    B = x.shape[-1]
 
     dhdu = _calc_dhdu_list_bm(problem, config, t, x, u_list)
 
@@ -520,12 +533,29 @@ def _control_step_bm(problem: ContinuousProblem, config: CgmresConfig,
     du, _, _ = gmres_bm(Amul, b, du_warm, k_max=config.k_max, eps=1e-10)
 
     u_list_new = u_list + dt * du.reshape(N, nuc, B)
+    err = jnp.sqrt(jnp.sum(dhdu**2, axis=(0, 1)))
+    return u_list_new, du, err
+
+
+def _control_step_bm(problem: ContinuousProblem, config: CgmresConfig,
+                     t, xs_b, next_xs_b, states: CgmresState) -> CgmresState:
+    """Batch-minor continuation update for a fleet of controllers.
+
+    Public layout is batch-first (like ``control_step_batch``); the one-time
+    boundary transposes bracket a loop-free body, so everything inside —
+    sweeps, FD products, GMRES recurrences — runs with the batch on the
+    vector lanes.
+    """
+    bm = lambda a: jnp.moveaxis(a, 0, -1)
+    u_list_new, du, err = _control_step_bm_core(
+        problem, config, t, bm(xs_b), bm(next_xs_b),
+        bm(states.u_list), bm(states.delta_u_vec))
     bf = lambda a: jnp.moveaxis(a, -1, 0)
     return CgmresState(
         u_list=bf(u_list_new),
         delta_u_vec=bf(du),
         u=bf(u_list_new[0]),
-        err=jnp.sqrt(jnp.sum(dhdu**2, axis=(0, 1))),
+        err=err,
     )
 
 
@@ -544,3 +574,42 @@ def _simulate(problem: ContinuousProblem, config: CgmresConfig,
     (_, _, _), (ts, xs, us, errs) = lax.scan(
         step, (t0, x0, state), jnp.arange(n_steps))
     return ts, xs, us, errs
+
+
+def _simulate_bm(problem: ContinuousProblem, config: CgmresConfig,
+                 t0, x0s_b, states: CgmresState, *, n_steps: int):
+    """Batched closed-loop simulation on the lane-blocked fleet kernel.
+
+    The r2 ``simulate_batch`` was vmap-of-single ``_simulate`` and never
+    used the 8.5x lane-blocked step kernel; this scans
+    :func:`_control_step_bm_core` directly with the batch-minor state held
+    across steps, so the boundary transposes happen ONCE outside the scan
+    (``CgmresSolver::run`` at fleet scale, ``CgmresSolver.cpp:66-109``).
+    Returns batch-first (ts [B, n], xs [B, n, dim_x], us [B, n, dim_uc],
+    errs [B, n]) — same contract as the old vmap path.
+    """
+    sim_f = INTEGRATORS[config.sim_ode_solver]
+    f1 = lambda t, xx, u: problem.state_eq(t, xx, u[: problem.dim_u])
+    f_bm = jax.vmap(f1, in_axes=(None, -1, -1), out_axes=-1)
+
+    bm = lambda a: jnp.moveaxis(a, 0, -1)
+    B = x0s_b.shape[0]
+    x0 = bm(x0s_b)                                       # [dim_x, B]
+    u_list0 = bm(states.u_list)                          # [N, dim_uc, B]
+    du0 = bm(states.delta_u_vec)                         # [N*dim_uc, B]
+    u0 = bm(states.u)                                    # [dim_uc, B]
+
+    def step(carry, i):
+        t, x, u_list, du, u = carry
+        next_x = sim_f(f_bm, t, x, u, config.dt)
+        u_list, du, err = _control_step_bm_core(
+            problem, config, t, x, next_x, u_list, du)
+        u_new = u_list[0]
+        return ((t + config.dt, next_x, u_list, du, u_new),
+                (t, x, u_new, err))
+
+    _, (ts, xs, us, errs) = lax.scan(
+        step, (t0, x0, u_list0, du0, u0), jnp.arange(n_steps))
+    ts_b = jnp.broadcast_to(ts[None, :], (B, n_steps))
+    return (ts_b, jnp.moveaxis(xs, -1, 0), jnp.moveaxis(us, -1, 0),
+            jnp.moveaxis(errs, -1, 0))

@@ -272,3 +272,79 @@ def test_batched_controllers():
                                    atol=1e-12)
         np.testing.assert_allclose(np.asarray(us_b[i]), np.asarray(us),
                                    atol=1e-12)
+
+
+# ------------------------------------------------------- gmres_bm unit tests
+
+def _gmres_bm_vs_single(As, bs, x0s, k_max):
+    """Run gmres_bm on the stacked systems and per-lane gmres on each."""
+    from nmpc_tpu.solvers.cgmres import gmres_bm
+
+    B = len(As)
+    A_b = jnp.asarray(np.stack(As, axis=-1))     # [n, n, B]
+    b_b = jnp.asarray(np.stack(bs, axis=-1))     # [n, B]
+    x0_b = jnp.asarray(np.stack(x0s, axis=-1))
+
+    def Amul(v):                                  # [n, B] -> [n, B]
+        return jnp.einsum("ijb,jb->ib", A_b, v)
+
+    x_bm, iters, rho = gmres_bm(Amul, b_b, x0_b, k_max=k_max)
+
+    xs_single, iters_single = [], []
+    for i in range(B):
+        A = jnp.asarray(As[i])
+        res = gmres(lambda v, A=A: A @ v, jnp.asarray(bs[i]),
+                    jnp.asarray(x0s[i]), k_max=k_max)
+        xs_single.append(np.asarray(res.x))
+        iters_single.append(int(res.iters))
+    return (np.asarray(x_bm), np.asarray(iters), np.asarray(rho),
+            np.stack(xs_single, axis=-1), np.asarray(iters_single))
+
+
+def test_gmres_bm_random_dense():
+    """Random dense systems, full k_max: parity vs per-lane gmres and
+    vs numpy.linalg.solve (TestGmres.cpp:98-156 semantics under batching)."""
+    n, B = 12, 5
+    rng = np.random.default_rng(3)
+    As = [rng.normal(size=(n, n)) + n * np.eye(n) for _ in range(B)]
+    bs = [rng.normal(size=n) for _ in range(B)]
+    x0s = [np.zeros(n) for _ in range(B)]
+    x_bm, _, _, x_single, _ = _gmres_bm_vs_single(As, bs, x0s, k_max=n)
+    assert np.isfinite(x_bm).all()
+    np.testing.assert_allclose(x_bm, x_single, atol=1e-8)
+    for i in range(B):
+        np.testing.assert_allclose(x_bm[:, i], np.linalg.solve(As[i], bs[i]),
+                                   atol=1e-8)
+
+
+def test_gmres_bm_truncated():
+    """k_max < n (the C/GMRES regime, k_max=5 at CgmresSolver.h:75):
+    truncated solutions match per-lane gmres exactly."""
+    n, B, k_max = 20, 4, 5
+    rng = np.random.default_rng(4)
+    As = [rng.normal(size=(n, n)) + 2 * n * np.eye(n) for _ in range(B)]
+    bs = [rng.normal(size=n) for _ in range(B)]
+    x0s = [0.1 * rng.normal(size=n) for _ in range(B)]
+    x_bm, iters, _, x_single, it_single = _gmres_bm_vs_single(
+        As, bs, x0s, k_max=k_max)
+    assert np.isfinite(x_bm).all()
+    np.testing.assert_allclose(x_bm, x_single, atol=1e-8)
+    np.testing.assert_array_equal(iters, it_single)
+
+
+def test_gmres_bm_mixed_convergence():
+    """The r2 NaN reproduction: one identity-like lane converging at k=1
+    batched with a stiff lane running to k_max.  The early lane's frozen
+    Hessenberg block must not poison its back-substitution."""
+    n, k_max = 8, 5
+    rng = np.random.default_rng(5)
+    A_easy = np.eye(n)                                  # converges at k=1
+    A_stiff = rng.normal(size=(n, n)) + 3 * np.eye(n)   # runs to k_max
+    b = rng.normal(size=n)
+    x_bm, iters, rho, x_single, it_single = _gmres_bm_vs_single(
+        [A_easy, A_stiff], [b, b], [np.zeros(n)] * 2, k_max=k_max)
+    assert np.isfinite(x_bm).all(), "early-converging lane produced NaN"
+    np.testing.assert_allclose(x_bm, x_single, atol=1e-8)
+    np.testing.assert_array_equal(iters, it_single)
+    assert iters[0] == 1 and iters[1] > 1
+    np.testing.assert_allclose(x_bm[:, 0], b, atol=1e-10)
