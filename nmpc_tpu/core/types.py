@@ -90,6 +90,16 @@ class DDPConfig:
     #             3.3x faster kernel-level and takes the end-to-end solve
     #             from 446k to 639k solves/s (benchmarks/bench_backward.py).
     backward_impl: str = "auto"
+    # Mixed precision: dtype for the dynamics/cost derivative sweeps
+    # (incl. terminal expansion), with everything downstream (backward,
+    # rollouts) staying at the solve dtype.  "same" follows the solve
+    # dtype; "float64" gives fp64 derivative islands inside an fp32 solve —
+    # the r2 floor audit showed the fp32 u-parity floor (~4e-4 on
+    # cart-pole) is set by conditioning of the derivative/forward path, not
+    # by backward accumulation, so this is the targeted lever for problems
+    # needing certified ~1e-4 u-parity at less than full-fp64 cost.
+    # Requires jax_enable_x64 when set to "float64".
+    deriv_dtype: str = "same"
     # Max backward-pass lambda-retry attempts per iteration. The reference
     # retries unboundedly until lambda > lambda_max (DDPSolver.hpp:191-209);
     # from lambda_min to lambda_max with factor 1.6 that is at most
@@ -106,6 +116,10 @@ class DDPConfig:
             raise ValueError(
                 f"DDPConfig.backward_impl must be one of 'auto', 'stacked', "
                 f"'pallas'; got {self.backward_impl!r}")
+        if self.deriv_dtype not in ("same", "float32", "float64"):
+            raise ValueError(
+                f"DDPConfig.deriv_dtype must be one of 'same', 'float32', "
+                f"'float64'; got {self.deriv_dtype!r}")
 
     def for_fp32(self, cost_scale: float = 1e3) -> "DDPConfig":
         """fp32-calibrated termination thresholds (SURVEY §7 "fp precision").
@@ -143,7 +157,18 @@ class BoxQPConfig:
     step_factor: float = 0.6
     min_step: float = 1e-22
     armijo_param: float = 0.1
-    max_ls_iter: int = 80   # static bound: 0.6^80 < 1e-22 = min_step
+    # static bound on Armijo backtracking: the reference loop runs until
+    # step < min_step (BoxQP.h:298-309), i.e. 0.6^k < 1e-22 => k >= 100;
+    # 104 covers it with margin (the r2 value 80 reached only 1.8e-18, so
+    # the exhaustion exit was unreachable)
+    max_ls_iter: int = 104
+    # number of projected-Newton iterations unrolled (masked) before the
+    # while_loop continuation in the batched kernel: unrolled iterations
+    # fuse into the surrounding scan with no per-trip dispatch overhead,
+    # while the continuation preserves exact reference semantics for the
+    # rare lanes needing more (measured: median 1 / p90 10 trips on the
+    # vertical-motion config; benchmarks/profile_boxed_ddp.py)
+    unroll_iter: int = 8
 
 
 class BoxQPStatus(enum.IntEnum):

@@ -131,7 +131,7 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
     All arrays carry trailing batch B: H [n,n,B], rest [n,B].  Per-lane
     control flow (early exits, Armijo backtracking) is masked, exactly
     matching ``solvers/boxqp.py`` under vmap.  Returns
-    (x, ok [B], free_mask [n,B], cholL [n,n,B]).
+    (x, ok [B], free_mask [n,B], cholL [n,n,B], iters).
     """
     from nmpc_tpu.core.types import BoxQPStatus
 
@@ -159,8 +159,10 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
         return jnp.any(c.status == 0) & (c.it < config.max_iter)
 
     def body(c: C):
-        it = c.it + 1
         active = c.status == 0
+        # freeze the counter once every lane is done so the unrolled phase
+        # does not inflate the trip-count diagnostics
+        it = jnp.where(jnp.any(active), c.it + 1, c.it)
 
         improve_done = (it > 1) & (
             (c.old_obj - c.obj) < config.rel_improve_thre * jnp.abs(c.old_obj))
@@ -190,35 +192,41 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
 
         pre_exit = improve_done | all_clamped | (~chol_ok) | small_grad | bad_dir
 
-        # masked Armijo backtracking (BoxQP.h:293-309)
-        def cand(step):
-            xc = jnp.clip(c.x + step[None, :] * d, lower, upper)
-            return xc, _obj_bl(xc, H, g)
-
-        step0 = jnp.ones((B,), dtype)
-        xc0, objc0 = cand(step0)
-        ls_active0 = active & ~pre_exit
-
-        def ls_cond(s):
-            step, xc, objc, hit_min, k, act = s
-            fail = (objc - old_obj) / (step * sdg) < config.armijo_param
-            return jnp.any(act & fail & ~hit_min) & (k < config.max_ls_iter)
-
-        def ls_body(s):
-            step, xc, objc, hit_min, k, act = s
-            fail = (objc - old_obj) / (step * sdg) < config.armijo_param
-            upd = act & fail & ~hit_min
-            step = jnp.where(upd, step * config.step_factor, step)
-            xc2, objc2 = cand(step)
-            xc = jnp.where(upd[None, :], xc2, xc)
-            objc = jnp.where(upd, objc2, objc)
-            hit_min = hit_min | (upd & (step < config.min_step))
-            return (step, xc, objc, hit_min, k + 1, act)
-
-        _, x_cand, obj_cand, _, _, _ = lax.while_loop(
-            ls_cond, ls_body,
-            (step0, xc0, objc0, jnp.zeros((B,), bool), jnp.int32(0),
-             ls_active0))
+        # Armijo backtracking (BoxQP.h:293-309), evaluated IN PARALLEL over
+        # the whole step schedule instead of a sequential while_loop: the
+        # nested while was the boxed backward's real cost (measured 15x over
+        # the unconstrained kernel with median QP trip count 1 — pure loop
+        # dispatch overhead, benchmarks/profile_boxed_ddp.py).  The
+        # candidates are the same clip(x + 0.6^j d) values the sequential
+        # loop would visit; first-accept selection reproduces its choice,
+        # and a step below min_step before any accept is the reference's
+        # exhaustion exit (retval 2) with that candidate accepted.
+        n_ls = config.max_ls_iter + 1
+        # cumprod, not pow: the sequential loop forms 0.6^j by repeated
+        # multiplication, so cumprod reproduces its step values bit-for-bit
+        steps = jnp.concatenate([
+            jnp.ones((1,), dtype),
+            jnp.cumprod(jnp.full((n_ls - 1,), config.step_factor, dtype)),
+        ])                                                   # [K] 1, 0.6, ...
+        xc = jnp.clip(c.x[None] + steps[:, None, None] * d[None],
+                      lower[None], upper[None])              # [K, n, B]
+        # broadcast-multiply-reduce, same lane layout as _mv (einsum's
+        # dot_general relayouts [K, n, B] per trip and is ~10x slower here)
+        Hxc = jnp.sum(H[None] * xc[:, None, :, :], axis=2)   # [K, n, B]
+        objc = (jnp.sum(xc * g[None], axis=1)
+                + 0.5 * jnp.sum(xc * Hxc, axis=1))           # [K, B]
+        ratio = (objc - old_obj[None]) / (steps[:, None] * sdg[None])
+        accept = ratio >= config.armijo_param                # [K, B]
+        below = (steps < config.min_step)[:, None]           # [K, 1]
+        stop = accept | below                                # [K, B]
+        # first stopping index per lane (guaranteed: steps[-1] < min_step);
+        # select via one-hot reduction — take_along_axis lowers to a gather,
+        # which is far slower than a K-sized masked reduce on TPU
+        k_star = jnp.argmax(stop, axis=0)                    # [B]
+        onehot = (jnp.arange(n_ls)[:, None] == k_star[None, :]).astype(dtype)
+        x_cand = jnp.sum(xc * onehot[:, None, :], axis=0)
+        obj_cand = jnp.sum(objc * onehot, axis=0)
+        ls_exhausted = jnp.sum((below & ~accept) * onehot, axis=0) > 0.5
 
         status = c.status
 
@@ -232,6 +240,10 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
         pick(~chol_ok, BoxQPStatus.HESSIAN_NOT_PD)
         pick(small_grad, BoxQPStatus.SMALL_GRADIENT)
         pick(bad_dir, BoxQPStatus.POSITIVE_DIR_DERIV)
+        # line-search exhaustion terminates with the tiny-step candidate
+        # accepted (BoxQP.h:304-308; see solvers/boxqp.py for the
+        # observability note on the reference's transient retval_ = 2)
+        pick(ls_exhausted, BoxQPStatus.MAX_LS_ITER)
         pick(it >= config.max_iter, BoxQPStatus.MAX_ITER)
 
         take = active & ~pre_exit
@@ -245,17 +257,26 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
         return C(x=x_new, obj=obj_new, old_obj=old_obj, status=status,
                  it=it, free=free_out, chol=chol_out)
 
-    out = lax.while_loop(cond, body, init)
+    # fixed unrolled phase (fuses into the caller's scan; no while-loop
+    # dispatch per trip), then an exact while_loop continuation for lanes
+    # that need more iterations — semantics identical to a pure while_loop
+    c = init
+    for _ in range(min(config.unroll_iter, config.max_iter)):
+        c = body(c)
+    out = lax.while_loop(cond, body, c)
     ok = out.status >= 0
-    return out.x, ok, out.free, out.chol
+    return out.x, ok, out.free, out.chol, out.it
 
 
 def backward_stacked_boxed(config: DDPConfig, D: StackedDerivs,
                            bounds: StackedBounds, Vx_T, Vxx_T, lam,
-                           D2: StackedSecond | None = None):
+                           D2: StackedSecond | None = None,
+                           with_qp_iters: bool = False):
     """Boxed backward pass, batch-minor: BoxQP feedforward + free-subspace
     feedback gains (``DDPSolver.hpp:450-497``), warm-started from the next
-    stage's feedforward.  D2 adds the full-DDP curvature terms."""
+    stage's feedforward.  D2 adds the full-DDP curvature terms.
+    ``with_qp_iters=True`` additionally returns the per-stage BoxQP
+    iteration counts (profiling; benchmarks/profile_boxed_ddp.py)."""
     nx = D.Fx.shape[1]
     nu = D.Fu.shape[2]
     B = Vx_T.shape[-1]
@@ -303,7 +324,7 @@ def backward_stacked_boxed(config: DDPConfig, D: StackedDerivs,
         if reg1:
             Quu_F = Quu_F + lam[None, None, :] * jnp.eye(nu, dtype=dtype)[:, :, None]
 
-        k, ok_i, free, cholL = boxqp_stacked(
+        k, ok_i, free, cholL, qp_it = boxqp_stacked(
             Quu_F, Qu, lo - u_i, hi - u_i, k_next, config.boxqp)
         Lrows = [[cholL[i, j] for j in range(nu)] for i in range(nu)]
         K = -free[:, None, :] * _chol_solve_bl(Lrows, free[:, None, :] * Qux_reg)
@@ -319,12 +340,17 @@ def backward_stacked_boxed(config: DDPConfig, D: StackedDerivs,
                    + _mm(_mT(Qux), K))
         Vxx_new = 0.5 * (Vxx_new + _mT(Vxx_new))
 
-        return (Vx_new, Vxx_new, dV, ok & ok_i, k), (k, K)
+        outs = ((k, K, qp_it) if with_qp_iters else (k, K))
+        return (Vx_new, Vxx_new, dV, ok & ok_i, k), outs
 
     init = (Vx_T, Vxx_T, jnp.zeros((2, B), dtype), jnp.ones((B,), dtype=bool),
             jnp.zeros((nu, B), dtype))
     xs = ((tuple(D), tuple(bounds), tuple(D2)) if second
           else (tuple(D), tuple(bounds)))
+    if with_qp_iters:
+        (_, _, dV, ok, _), (ks, Ks, qp_iters) = lax.scan(
+            bstep, init, xs, reverse=True)
+        return ks, Ks, dV, ok, qp_iters
     (_, _, dV, ok, _), (ks, Ks) = lax.scan(bstep, init, xs, reverse=True)
     return ks, Ks, dV, ok
 

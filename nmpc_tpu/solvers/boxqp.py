@@ -140,13 +140,20 @@ def boxqp_solve(H, g, lower, upper, x0, config: BoxQPConfig = BoxQPConfig()) -> 
             xc, objc = ls_candidate(step)
             return (step, xc, objc, step < config.min_step, k + 1)
 
-        _, x_cand, obj_cand, _, _ = lax.while_loop(
+        _, x_cand, obj_cand, ls_exhausted, _ = lax.while_loop(
             ls_cond, ls_body, (step0, xc0, objc0, jnp.bool_(False), jnp.int32(0))
         )
 
         # Resolve this iteration's terminal status, in the reference's check
         # order: improvement(4) -> all-clamped(6) -> chol failure(-1)
-        # -> small gradient(5) -> bad direction(-2) -> max-iter(1).
+        # -> small gradient(5) -> bad direction(-2) -> ls-exhausted(2)
+        # -> max-iter(1).  Note on MAX_LS_ITER: the reference assigns
+        # retval_ = 2 when step < min_step (BoxQP.h:304-308) but its main
+        # loop then continues and every later exit overwrites retval_, so 2
+        # is never observable as a final value there; here exhaustion
+        # terminates with the accepted tiny-step candidate (the Tassa-2014
+        # semantic), making the retcode observable.  Deviation documented
+        # in ARCHITECTURE.md.
         status = jnp.int32(BoxQPStatus.NOT_FINISHED)
 
         def pick(cond_, code, status):
@@ -159,6 +166,7 @@ def boxqp_solve(H, g, lower, upper, x0, config: BoxQPConfig = BoxQPConfig()) -> 
         status = pick(~chol_ok, BoxQPStatus.HESSIAN_NOT_PD, status)
         status = pick(small_grad, BoxQPStatus.SMALL_GRADIENT, status)
         status = pick(bad_dir, BoxQPStatus.POSITIVE_DIR_DERIV, status)
+        status = pick(ls_exhausted, BoxQPStatus.MAX_LS_ITER, status)
         status = pick(it >= config.max_iter, BoxQPStatus.MAX_ITER, status)
 
         # Whether x/obj advance this iteration (they do unless we broke before

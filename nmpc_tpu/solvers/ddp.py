@@ -75,6 +75,12 @@ class DDPSolver:
     def __init__(self, problem: Problem, config: DDPConfig = DDPConfig()):
         self.problem = problem
         self.config = config
+        if (config.deriv_dtype == "float64"
+                and not jax.config.jax_enable_x64):
+            raise ValueError(
+                "DDPConfig.deriv_dtype='float64' requires jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True)); without it "
+                "the fp64 derivative islands would silently run in fp32")
         # raw (unjitted) single-solve function; reused by the distributed
         # layer to re-jit with explicit shardings (parallel/mesh.py).
         self.raw_solve = functools.partial(_solve, problem, config)
@@ -119,18 +125,33 @@ def _rollout(problem: Problem, config: DDPConfig, t0, x0, us):
     return xs, costs
 
 
+def _deriv_dtype_of(config: DDPConfig, dtype):
+    """Resolve DDPConfig.deriv_dtype against the solve dtype (mixed
+    precision: fp64 derivative islands inside an fp32 solve)."""
+    if config.deriv_dtype == "same":
+        return dtype
+    return jnp.dtype(config.deriv_dtype)
+
+
 def _stage_derivs(problem: Problem, config: DDPConfig, t, x, u) -> _StageDerivs:
     dtype = x.dtype
     nx, nu = problem.state_dim, problem.input_dim
+    # mixed precision: evaluate the derivative callables at deriv_dtype
+    # (cast up at the callback boundary), then cast results back down —
+    # everything downstream stays at the solve dtype
+    ddt = _deriv_dtype_of(config, dtype)
+    td, xd, ud = jnp.asarray(t, ddt), x.astype(ddt), u.astype(ddt)
     # boundary cast: derivatives of fp64-weighted models must enter the
     # backward pass at the solve dtype
-    Fx, Fu = (a.astype(dtype) for a in problem.linearize_dynamics(t, x, u))
+    Fx, Fu = (a.astype(dtype) for a in problem.linearize_dynamics(td, xd, ud))
     Lx, Lu, Lxx, Luu, Lxu = (
-        a.astype(dtype) for a in problem.quadraticize_running_cost(t, x, u))
+        a.astype(dtype)
+        for a in problem.quadraticize_running_cost(td, xd, ud))
 
     if config.use_state_eq_second_derivative:
         Fxx, Fuu, Fxu = (
-            a.astype(dtype) for a in problem.second_order_dynamics(t, x, u))
+            a.astype(dtype)
+            for a in problem.second_order_dynamics(td, xd, ud))
     else:
         Fxx = jnp.zeros((nx, nx, nx), dtype)
         Fuu = jnp.zeros((nx, nu, nu), dtype)
@@ -172,9 +193,11 @@ def _derivative_sweep(problem, config, t0, xs, us):
     D = jax.vmap(lambda t, x, u: _stage_derivs(problem, config, t, x, u))(
         ts, xs[:-1], us
     )
+    ddt = _deriv_dtype_of(config, xs.dtype)
     Vx_T, Vxx_T = (a.astype(xs.dtype) for a in
-                   problem.quadraticize_terminal_cost(t0 + N * problem.dt,
-                                                      xs[-1]))
+                   problem.quadraticize_terminal_cost(
+                       jnp.asarray(t0 + N * problem.dt, ddt),
+                       xs[-1].astype(ddt)))
     return D, Vx_T, Vxx_T
 
 
@@ -559,9 +582,11 @@ def _derivative_sweep_lanes(problem, config, t0, xs_l, us_l):
     ts = t0 + problem.dt * jnp.arange(N, dtype=xs_l.dtype)
     f2 = vmap_lanes(lambda t, x, u: _stage_derivs(problem, config, t, x, u), 2)
     D = jax.vmap(f2, in_axes=(0, 0, 0))(ts, xs_l[:-1], us_l)
+    ddt = _deriv_dtype_of(config, xs_l.dtype)
     term2 = vmap_lanes(problem.quadraticize_terminal_cost, 1)
     Vx_T, Vxx_T = (a.astype(xs_l.dtype)
-                   for a in term2(t0 + N * problem.dt, xs_l[-1]))
+                   for a in term2(jnp.asarray(t0 + N * problem.dt, ddt),
+                                  xs_l[-1].astype(ddt)))
     return D, Vx_T, Vxx_T
 
 
@@ -598,6 +623,14 @@ def _forward_costs_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l):
 
     a_bc = alphas[:, None, None, None]          # [A, 1, 1, 1]
 
+    # accumulator dtype follows the cost function (it may promote, e.g.
+    # fp32 states with fp64 weights under x64); deriv_dtype widens it too —
+    # fp32 cost sums (~300 at fp32 eps) put ~2e-5 noise into the alpha
+    # acceptance comparisons, a measurable slice of the fp32 u-parity floor
+    cdtype = jax.eval_shape(
+        problem.running_cost, ts[0], xs_l[0, :, 0, 0], us_l[0, :, 0, 0]).dtype
+    cdtype = jnp.promote_types(cdtype, _deriv_dtype_of(config, dtype))
+
     def step(carry, inp):
         x, ctot = carry                         # [A, nx, S, L], [A, S, L]
         t, xr, ur, k, K = inp
@@ -605,18 +638,14 @@ def _forward_costs_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l):
         u = (ur[None] + a_bc * k[None]
              + jnp.sum(K[None] * dx[:, None], axis=2))   # [A, nu, S, L]
         xn = dyn3(t, x, u).astype(dtype)
-        c = cost3(t, x, u)
+        c = cost3(t, x, u).astype(cdtype)
         return (xn, ctot + c), None
 
     x0A = jnp.broadcast_to(xs_l[0][None], (A,) + xs_l[0].shape)
-    # accumulator dtype follows the cost function (it may promote, e.g.
-    # fp32 states with fp64 weights under x64)
-    cdtype = jax.eval_shape(
-        problem.running_cost, ts[0], xs_l[0, :, 0, 0], us_l[0, :, 0, 0]).dtype
     ct0 = jnp.zeros((A, S, L), cdtype)
     (xN, ctot), _ = lax.scan(
         step, (x0A, ct0), (ts, xs_l[:-1], us_l, ks_l, Ks_l))
-    return ctot + term3(t0 + N * problem.dt, xN)         # [A, S, L]
+    return ctot + term3(t0 + N * problem.dt, xN).astype(cdtype)  # [A, S, L]
 
 
 def _forward_selected_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l,

