@@ -93,3 +93,45 @@ def test_convergence_stats_psum():
     stats = convergence_stats(mesh, res)
     assert float(stats["n"]) == B
     assert 0.0 <= float(stats["success_rate"]) <= 1.0
+
+
+def test_initialize_multihost_launcher_paths():
+    """Launcher coverage (VERDICT r2 #9): run initialize_multihost in a
+    clean subprocess — (a) the explicit single-process coordinator path
+    actually initializes the JAX distributed runtime, (b) the env-driven
+    no-arg path (cluster auto-detection finds nothing here) degrades to a
+    no-op, (c) meshes and sharded computation work afterwards."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from nmpc_tpu.parallel.mesh import initialize_multihost, make_mesh, shard_batch
+
+# explicit single-process coordinator: the real jax.distributed path
+initialize_multihost("localhost:12397", 1, 0)
+assert jax.process_count() == 1, jax.process_count()
+
+# env-driven path: auto-detection finds no cluster -> clean no-op
+initialize_multihost()
+
+# second explicit call: already-initialized -> swallowed, still usable
+initialize_multihost("localhost:12397", 1, 0)
+
+mesh = make_mesh(dp=2, sp=2)
+(xs,) = shard_batch(mesh, (jnp.arange(8.0).reshape(8, 1),))
+assert float(jnp.sum(xs)) == 28.0
+print("LAUNCHER-OK")
+"""
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}  # never touch the TPU tunnel
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.getcwd()
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=240, env=env)
+    assert "LAUNCHER-OK" in out.stdout, (out.stdout, out.stderr[-2000:])
