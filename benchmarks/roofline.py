@@ -113,10 +113,13 @@ def main():
     VxxT = jnp.asarray(eye)[..., None] + 0 * mk(nx, nx, B)
     lam = jnp.full((B,), 1e-4, jnp.float32)
     cfg = DDPConfig(horizon_steps=N, max_iter=10)
-    f_pl = jax.jit(lambda *a: backward_pallas(cfg, *a))
-    t = device_time_min(f_pl, D, VxT, VxxT, lam)
     b, f = ddp_kernel_model(nx, nu, N, B)
-    out.append(audit("ddp_backward_pallas[cartpole B=4096 N=100]", b, f, t))
+    for packed in (True, False):
+        f_pl = jax.jit(lambda *a, p=packed: backward_pallas(cfg, *a, packed=p))
+        t = device_time_min(f_pl, D, VxT, VxxT, lam)
+        tag = "packed-1dma" if packed else "unpacked-7dma"
+        out.append(audit(
+            f"ddp_backward_pallas[cartpole B=4096 N=100 {tag}]", b, f, t))
 
     # ---- FMPC fused backward at both benchmarked configs -----------------
     from nmpc_tpu.core.types import FmpcConfig, fmpc_variable_reset

@@ -42,8 +42,8 @@ COLUMNS = (
     "linear_momentum_z angular_momentum_x angular_momentum_y "
     "angular_momentum_z force_x force_y force_z ref_pos_x ref_pos_y "
     "ref_pos_z iter duration_setup duration_opt duration_derivative "
-    "duration_backward duration_forward duration_Q duration_reg "
-    "duration_gain"
+    "duration_backward duration_forward duration_Q_est duration_reg_est "
+    "duration_gain_est"
 )
 
 
@@ -117,6 +117,13 @@ def run(end_t: float = 3.0, dt: float = 0.03, horizon_duration: float = 3.0,
 
     with open(out_path, "w") as f:
         f.write(COLUMNS + "\n")
+        # Provenance marker (np.loadtxt/gnuplot skip '#' lines): the *_est
+        # columns are shape-representative kernel-cost estimates from
+        # utils/profiled.estimate_backward_split, not in-loop measurements
+        # (the fused device backward admits no inner timers).
+        f.write("# duration_{Q,reg,gain}_est: shape-representative estimates"
+                " (utils/profiled.estimate_backward_split); other durations"
+                " are measured host-fenced stage times\n")
         for row in rows:
             f.write(" ".join(f"{v:.10g}" if isinstance(v, float) else str(v)
                              for v in row) + "\n")

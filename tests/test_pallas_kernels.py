@@ -50,6 +50,39 @@ def test_pallas_backward_matches_stacked(interpret_pallas):
     assert bool(jnp.all(o1[3] == o2[3]))
 
 
+def test_pallas_backward_packed_matches_unpacked(interpret_pallas):
+    """Packed-input (1-DMA-per-stage) kernel vs the default unpacked one.
+    The packed variant is an opt-in experiment (see backward_pallas's
+    docstring for the measured end-to-end A/B); keep its numerics pinned."""
+    from nmpc_tpu.core.types import DDPConfig
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+    from nmpc_tpu.solvers import ddp as D
+    from nmpc_tpu.kernels.ddp_backward import stack_derivs
+    import nmpc_tpu.kernels.ddp_backward_pallas as P
+
+    p = make_cartpole_problem(0.01)
+    c = DDPConfig(horizon_steps=8, max_iter=10)
+    B = 128
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 4))).astype(np.float32))
+    us = jnp.asarray(rng.normal(size=(B, 8, 1)).astype(np.float32) * 0.2)
+    xs, _ = D._rollout_stacked(p, c, 0.0, x0s, us)
+    Ds, VxT, VxxT = jax.vmap(
+        functools.partial(D._derivative_sweep, p, c),
+        in_axes=(None, 0, 0))(0.0, xs, us)
+    S = stack_derivs(Ds.Fx, Ds.Fu, Ds.Lx, Ds.Lu, Ds.Lxx, Ds.Luu, Ds.Lxu)
+    VxTs = jnp.moveaxis(VxT, 0, -1)
+    VxxTs = jnp.moveaxis(VxxT, 0, -1)
+    lam = jnp.full((B,), 1e-4, jnp.float32)
+
+    o1 = P.backward_pallas(c, S, VxTs, VxxTs, lam, packed=False)
+    o2 = P.backward_pallas(c, S, VxTs, VxxTs, lam, packed=True)
+    for a, b in zip(o1[:3], o2[:3]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+    assert bool(jnp.all(o1[3] == o2[3]))
+
+
 def _fmpc_backward_case(break_if_llt_fails):
     from nmpc_tpu.core.types import FmpcConfig, FmpcVariable
     from nmpc_tpu.models.oscillator import make_oscillator_problem
@@ -91,6 +124,21 @@ def test_pallas_fmpc_backward_matches_stacked(interpret_pallas,
                                    atol=3e-5, err_msg=name)
     assert bool(jnp.all(o1[4] == o2[4]))  # ok_pd
     assert bool(jnp.all(o1[5] == o2[5]))  # finite
+
+
+def test_pallas_fmpc_backward_packed_matches_unpacked(interpret_pallas,
+                                                      monkeypatch):
+    """Packed-DMA FMPC kernel (opt-in experiment) vs the default one."""
+    monkeypatch.setenv("NMPC_PALLAS_PACKED", "1")
+    o_packed, o2 = _fmpc_backward_case(False)
+    # o_packed here is the stacked reference (env has no effect on it);
+    # o2 ran the pallas path with the packed kernel
+    names = ["ks", "Ks", "svecs", "Ps"]
+    for name, a, b in zip(names, o_packed[:4], o2[:4]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5, err_msg=name)
+    assert bool(jnp.all(o_packed[4] == o2[4]))
+    assert bool(jnp.all(o_packed[5] == o2[5]))
 
 
 def _fmpc_solve_both(max_iter, x0_scale, seed=2, B=128, N=20):
