@@ -168,7 +168,16 @@ class BoxQPConfig:
     # while the continuation preserves exact reference semantics for the
     # rare lanes needing more (measured: median 1 / p90 10 trips on the
     # vertical-motion config; benchmarks/profile_boxed_ddp.py)
-    unroll_iter: int = 8
+    unroll_iter: int = 4
+    # width of the PARALLEL Armijo head in the batched kernel: the first
+    # ls_block candidates (steps 1, 0.6, ..., 0.6^(ls_block-1)) are
+    # evaluated in one batched block; lanes that accept none (rare — every
+    # realistic accept lands well above 0.6^8 ~ 0.017) continue in an
+    # exact masked sequential tail.  Bounds the per-QP-iteration memory
+    # traffic (the r2 all-candidates version streamed ~15 MB of [K,n,n,B]
+    # broadcasts per iteration and made the boxed backward 22x the
+    # unconstrained one)
+    ls_block: int = 9
 
 
 class BoxQPStatus(enum.IntEnum):

@@ -192,41 +192,74 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
 
         pre_exit = improve_done | all_clamped | (~chol_ok) | small_grad | bad_dir
 
-        # Armijo backtracking (BoxQP.h:293-309), evaluated IN PARALLEL over
-        # the whole step schedule instead of a sequential while_loop: the
-        # nested while was the boxed backward's real cost (measured 15x over
-        # the unconstrained kernel with median QP trip count 1 — pure loop
-        # dispatch overhead, benchmarks/profile_boxed_ddp.py).  The
-        # candidates are the same clip(x + 0.6^j d) values the sequential
-        # loop would visit; first-accept selection reproduces its choice,
-        # and a step below min_step before any accept is the reference's
-        # exhaustion exit (retval 2) with that candidate accepted.
+        # Armijo backtracking (BoxQP.h:293-309), two-phase (round 3): a
+        # PARALLEL head over the first ls_block steps — in practice every
+        # accept lands there (the r2 all-105-candidate version cost ~15 MB
+        # of [K,n,n,B] broadcast traffic per QP iteration, which made the
+        # boxed backward 22x the unconstrained one) — then a masked
+        # sequential while_loop tail for the rare lane that backtracks
+        # deeper, preserving exact first-accept/exhaustion semantics over
+        # the full schedule.  The candidates are the same clip(x + 0.6^j d)
+        # values the reference's sequential loop would visit.
         n_ls = config.max_ls_iter + 1
+        K1 = min(config.ls_block, n_ls)
         # cumprod, not pow: the sequential loop forms 0.6^j by repeated
         # multiplication, so cumprod reproduces its step values bit-for-bit
-        steps = jnp.concatenate([
+        steps_h = jnp.concatenate([
             jnp.ones((1,), dtype),
-            jnp.cumprod(jnp.full((n_ls - 1,), config.step_factor, dtype)),
-        ])                                                   # [K] 1, 0.6, ...
-        xc = jnp.clip(c.x[None] + steps[:, None, None] * d[None],
-                      lower[None], upper[None])              # [K, n, B]
+            jnp.cumprod(jnp.full((K1 - 1,), config.step_factor, dtype)),
+        ])                                                   # [K1] 1, 0.6, ..
+        xc = jnp.clip(c.x[None] + steps_h[:, None, None] * d[None],
+                      lower[None], upper[None])              # [K1, n, B]
         # broadcast-multiply-reduce, same lane layout as _mv (einsum's
         # dot_general relayouts [K, n, B] per trip and is ~10x slower here)
-        Hxc = jnp.sum(H[None] * xc[:, None, :, :], axis=2)   # [K, n, B]
+        Hxc = jnp.sum(H[None] * xc[:, None, :, :], axis=2)   # [K1, n, B]
         objc = (jnp.sum(xc * g[None], axis=1)
-                + 0.5 * jnp.sum(xc * Hxc, axis=1))           # [K, B]
-        ratio = (objc - old_obj[None]) / (steps[:, None] * sdg[None])
-        accept = ratio >= config.armijo_param                # [K, B]
-        below = (steps < config.min_step)[:, None]           # [K, 1]
-        stop = accept | below                                # [K, B]
-        # first stopping index per lane (guaranteed: steps[-1] < min_step);
-        # select via one-hot reduction — take_along_axis lowers to a gather,
-        # which is far slower than a K-sized masked reduce on TPU
+                + 0.5 * jnp.sum(xc * Hxc, axis=1))           # [K1, B]
+        ratio = (objc - old_obj[None]) / (steps_h[:, None] * sdg[None])
+        accept = ratio >= config.armijo_param                # [K1, B]
+        below = (steps_h < config.min_step)[:, None]         # [K1, 1]
+        stop = accept | below                                # [K1, B]
+        any_stop = jnp.any(stop, axis=0)                     # [B]
+        # first stopping index per lane; select via one-hot reduction —
+        # take_along_axis lowers to a gather, which is far slower than a
+        # K-sized masked reduce on TPU
         k_star = jnp.argmax(stop, axis=0)                    # [B]
-        onehot = (jnp.arange(n_ls)[:, None] == k_star[None, :]).astype(dtype)
+        onehot = (jnp.arange(K1)[:, None] == k_star[None, :]).astype(dtype)
         x_cand = jnp.sum(xc * onehot[:, None, :], axis=0)
         obj_cand = jnp.sum(objc * onehot, axis=0)
         ls_exhausted = jnp.sum((below & ~accept) * onehot, axis=0) > 0.5
+
+        # sequential tail (steps K1..max_ls_iter) for lanes with no accept
+        # in the head; zero trips in the common case
+        need_tail = active & ~pre_exit & ~any_stop
+        if K1 < n_ls:
+            def ls_cond(s):
+                step, xt, objt, exh, k, done = s
+                return jnp.any(~done) & (k < n_ls)
+
+            def ls_body(s):
+                step, xt, objt, exh, k, done = s
+                step = jnp.where(done, step, step * config.step_factor)
+                xc1 = jnp.clip(c.x + step[None] * d, lower, upper)
+                obj1 = _obj_bl(xc1, H, g)
+                acc1 = (obj1 - old_obj) / (step * sdg) >= config.armijo_param
+                bel1 = step < config.min_step
+                stop1 = (acc1 | bel1) & ~done
+                xt = jnp.where(stop1[None], xc1, xt)
+                objt = jnp.where(stop1, obj1, objt)
+                exh = exh | (stop1 & bel1 & ~acc1)
+                return (step, xt, objt, exh, k + 1, done | stop1)
+
+            s0 = (jnp.full((B,), steps_h[-1], dtype), x_cand, obj_cand,
+                  jnp.zeros((B,), bool), jnp.int32(K1), ~need_tail)
+            _, x_cand, obj_cand, exh_t, _, done_t = lax.while_loop(
+                ls_cond, ls_body, s0)
+            # a lane still not done when k hits n_ls exhausted the schedule
+            # with its last (tiny-step) candidate pending — the loop always
+            # stops first via below=True since steps shrink past min_step,
+            # but keep the flag exact for nonstandard configs
+            ls_exhausted = ls_exhausted | exh_t | (need_tail & ~done_t)
 
         status = c.status
 
@@ -263,7 +296,10 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
     c = init
     for _ in range(min(config.unroll_iter, config.max_iter)):
         c = body(c)
-    out = lax.while_loop(cond, body, c)
+    if config.unroll_iter >= config.max_iter:
+        out = c                      # unrolled phase already covers the cap
+    else:
+        out = lax.while_loop(cond, body, c)
     ok = out.status >= 0
     return out.x, ok, out.free, out.chol, out.it
 

@@ -179,6 +179,187 @@ def _riccati_stage(config: DDPConfig, nx, nu, lam, zeros, fields, carry):
     return (Vx_new, Vxx_sym, dV0, dV1, ok * ok_i), kvec, K
 
 
+def _make_kernel_chunked(config: DDPConfig, nx: int, nu: int, N: int,
+                         SUB: int, C: int):
+    """Stage-chunked DMA kernel: 7 DMAs per C-stage chunk instead of per
+    stage.
+
+    Roofline lever, round 3: the per-stage kernel is DMA-issue-latency
+    bound (measured 49.5% of the HBM roofline at the headline shape; the
+    smallest of its 7 per-stage DMAs is 8 KB).  Packing the fields into one
+    buffer on the host side LOSES end-to-end (the concatenate costs two
+    extra HBM passes — see ``backward_pallas``), so instead each DMA keeps
+    its own field buffer but fetches C stages at once: same bytes, same
+    input layout, C× fewer DMA issues.  Double-buffering moves to chunk
+    granularity (prefetch chunk c+1 while stages of chunk c compute), which
+    also gives the prefetch C stages of compute to hide under.
+    """
+    n_chunks = N // C
+
+    def kernel(Fx_hbm, Fu_hbm, Lx_hbm, Lu_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm,
+               VxT_ref, VxxT_ref, lam_ref,
+               ks_ref, Ks_ref, dV_ref, ok_ref,
+               Fx_s, Fu_s, Lx_s, Lu_s, Lxx_s, Luu_s, Lxu_s, sems):
+        g = pl.program_id(0)
+        b0 = g * SUB
+        lam = lam_ref[:, :]
+
+        hbm = [Fx_hbm, Fu_hbm, Lx_hbm, Lu_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm]
+        scr = [Fx_s, Fu_s, Lx_s, Lu_s, Lxx_s, Luu_s, Lxu_s]
+
+        def chunk_dmas(slot, c):
+            # chunk c covers stages [N-(c+1)*C, N-c*C), consumed high->low
+            base = N - (c + 1) * C
+            out = []
+            for w, (h, s) in enumerate(zip(hbm, scr)):
+                if h.ndim == 5:
+                    src = h.at[pl.ds(base, C), :, :, pl.ds(b0, SUB), :]
+                else:
+                    src = h.at[pl.ds(base, C), :, pl.ds(b0, SUB), :]
+                out.append(pltpu.make_async_copy(src, s.at[slot],
+                                                 sems.at[w, slot]))
+            return out
+
+        for d in chunk_dmas(0, 0):
+            d.start()
+
+        def load_mat(ref, slot, idx, n, m):
+            return [[ref[slot, idx, a, b] for b in range(m)]
+                    for a in range(n)]
+
+        def load_vec(ref, slot, idx, n):
+            return [ref[slot, idx, a] for a in range(n)]
+
+        Vx = [VxT_ref[a] for a in range(nx)]
+        Vxx = [[VxxT_ref[a, b] for b in range(nx)] for a in range(nx)]
+
+        zeros = jnp.zeros_like(lam)
+        carry0 = (Vx, Vxx, zeros, zeros, jnp.ones_like(lam))
+
+        def body(j, carry):
+            i = N - 1 - j
+            c = j // C
+            pos = j - c * C
+            slot = lax.rem(c, 2)
+            idx = C - 1 - pos            # position of stage i inside chunk c
+
+            # at a chunk boundary: prefetch the next chunk into the other
+            # slot (its previous occupant, chunk c-1, is fully consumed),
+            # then wait for this chunk's data
+            @pl.when((pos == 0) & (c + 1 < n_chunks))
+            def _():
+                for d in chunk_dmas(lax.rem(c + 1, 2), c + 1):
+                    d.start()
+
+            @pl.when(pos == 0)
+            def _():
+                for d in chunk_dmas(slot, c):
+                    d.wait()
+
+            fields = {
+                "Fx": load_mat(Fx_s, slot, idx, nx, nx),
+                "Fu": load_mat(Fu_s, slot, idx, nx, nu),
+                "Lx": load_vec(Lx_s, slot, idx, nx),
+                "Lu": load_vec(Lu_s, slot, idx, nu),
+                "Lxx": load_mat(Lxx_s, slot, idx, nx, nx),
+                "Luu": load_mat(Luu_s, slot, idx, nu, nu),
+                "Lxu": load_mat(Lxu_s, slot, idx, nx, nu),
+            }
+            new_carry, kvec, K = _riccati_stage(
+                config, nx, nu, lam, zeros, fields, carry)
+
+            for a in range(nu):
+                ks_ref[i, a] = kvec[a]
+                for b in range(nx):
+                    Ks_ref[i, a, b] = K[a][b]
+
+            return new_carry
+
+        Vx, Vxx, dV0, dV1, ok = lax.fori_loop(0, N, body, carry0)
+        dV_ref[0] = dV0
+        dV_ref[1] = dV1
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
+def _choose_chunk(N: int, B4: int, out_floats: int, F: int):
+    """Pick (C, SUB) for the chunked kernel: maximize SUB*C (total DMA
+    issues scale as B4*N*7/(SUB*C)) under the VMEM budget, tie-breaking
+    toward larger SUB (fewer grid steps)."""
+    budget = 11 * 1024 * 1024
+    # Mosaic: the second-to-last block dim (SUB) must be a multiple of 8 or
+    # the full array dim B4
+    subs = [B4] + [s for s in (512, 256, 128, 64, 32, 16, 8)
+                   if s < B4 and B4 % s == 0]
+    if B4 < 8:
+        subs = [B4]
+    best = None
+    for c in range(1, min(N, 32) + 1):
+        if N % c:
+            continue
+        for s in subs:
+            if s * 128 * 4 * (2 * out_floats + 2 * c * F) <= budget:
+                key = (s * c, s)
+                if best is None or key > best[:2]:
+                    best = (s * c, s, c)
+                break
+    if best is None:
+        return 1, min(subs)
+    return best[2], best[1]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _backward_pallas_call_chunked(config: DDPConfig, nx, nu, N,
+                                  Fx, Fu, Lx, Lu, Lxx, Luu, Lxu,
+                                  VxT, VxxT, lam):
+    """Chunked-DMA variant of ``_backward_pallas_call`` (same signature)."""
+    B4 = lam.shape[0]
+    dtype = Fx.dtype
+    out_floats = N * (nu + nu * nx)
+    F = 2 * nx * nx + 2 * nx * nu + nx + nu + nu * nu
+    C, SUB = _choose_chunk(N, B4, out_floats, F)
+    grid = (B4 // SUB,)
+
+    def vspec(*dims):
+        block = tuple(dims) + (SUB, 128)
+        nlead = len(dims)
+        return pl.BlockSpec(block,
+                            lambda i, nlead=nlead: (0,) * nlead + (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel_chunked(config, nx, nu, N, SUB, C)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, nu, B4, 128), dtype),
+        jax.ShapeDtypeStruct((N, nu, nx, B4, 128), dtype),
+        jax.ShapeDtypeStruct((2, B4, 128), dtype),
+        jax.ShapeDtypeStruct((B4, 128), jnp.float32),
+    )
+    out_specs = (vspec(N, nu), vspec(N, nu, nx), vspec(2), vspec())
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 7 + [
+        vspec(nx), vspec(nx, nx), vspec()]
+    scratch = [
+        pltpu.VMEM((2, C, nx, nx, SUB, 128), dtype),   # Fx
+        pltpu.VMEM((2, C, nx, nu, SUB, 128), dtype),   # Fu
+        pltpu.VMEM((2, C, nx, SUB, 128), dtype),       # Lx
+        pltpu.VMEM((2, C, nu, SUB, 128), dtype),       # Lu
+        pltpu.VMEM((2, C, nx, nx, SUB, 128), dtype),   # Lxx
+        pltpu.VMEM((2, C, nu, nu, SUB, 128), dtype),   # Luu
+        pltpu.VMEM((2, C, nx, nu, SUB, 128), dtype),   # Lxu
+        pltpu.SemaphoreType.DMA((7, 2)),
+    ]
+
+    ks, Ks, dV, okf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(Fx, Fu, Lx, Lu, Lxx, Luu, Lxu, VxT, VxxT, lam)
+    return ks, Ks, dV, okf
+
+
 def _make_kernel_packed(config: DDPConfig, nx: int, nu: int, N: int,
                         SUB: int):
     """Packed-input kernel: one DMA per stage from the packed buffer."""
@@ -475,19 +656,37 @@ def backward_pallas(config: DDPConfig, D, Vx_T, Vxx_T, lam,
 
     Requires B % 128 == 0 (the stacked solver pads/los falls back otherwise).
 
-    ``packed=True`` selects the 1-DMA-per-stage packed-input kernel.
-    Measured on chip (2026-08, benchmarks/roofline.py + /tmp A/B): packing
-    at this call boundary LOSES end-to-end (10.5 ms vs 6.5 ms per
-    10-iteration solve at B=4096) because the derivative sweep's scan
-    outputs are already materialized, so the concatenate cannot fuse and
-    costs two extra full HBM passes per iteration — more than the DMA-issue
-    savings.  Default is therefore unpacked (or the ``NMPC_PALLAS_PACKED=1``
-    env var for experiments); the next lever is emitting the packed layout
-    natively from the derivative sweep.
+    DMA modes (``NMPC_PALLAS_DMA`` env var, or the legacy ``packed`` kwarg):
+
+    - ``"stage"`` (default): 7 DMAs per stage, double-buffered.
+    - ``"chunked"``: 7 DMAs per C-stage chunk — same input layout and
+      bytes, C× fewer DMA *issues*.  Measured on chip (2026-08-20, B=4096
+      N=100 cart-pole): 426.7 µs vs 421.9 µs for stage — NO win, parity
+      exact (0.0).  Conclusion: the gap to the HBM roofline is NOT
+      DMA-issue count; each per-field slice is strided over the B4 axis
+      whenever SUB < B4, so a chunk DMA decomposes into the same row
+      descriptors as C per-stage DMAs.  Closing further would need the
+      batch-outermost layout (contiguous whole-chunk transfers), which
+      conflicts with the batch-minor contract of everything upstream.
+      Kept as a parity-pinned experiment.
+    - ``"packed"``: 1 DMA per stage from a host-packed buffer.  Measured on
+      chip (2026-08, benchmarks/roofline.py + /tmp A/B): packing at this
+      call boundary LOSES end-to-end (10.5 ms vs 6.5 ms per 10-iteration
+      solve at B=4096) because the derivative sweep's outputs are already
+      materialized, so the concatenate cannot fuse and costs two extra full
+      HBM passes per iteration — more than the DMA-issue savings.  Kept as
+      an experiment.
     """
+    import os
     if packed is None:
-        import os
-        packed = os.environ.get("NMPC_PALLAS_PACKED", "0") == "1"
+        mode = os.environ.get("NMPC_PALLAS_DMA", "")
+        if not mode:
+            mode = ("packed"
+                    if os.environ.get("NMPC_PALLAS_PACKED", "0") == "1"
+                    else "stage")
+    else:
+        mode = "packed" if packed else "stage"
+    assert mode in ("stage", "packed", "chunked"), mode
     N, nx = D.Fx.shape[0], D.Fx.shape[1]
     nu = D.Fu.shape[2]
     B = lam.shape[-1]
@@ -495,10 +694,15 @@ def backward_pallas(config: DDPConfig, D, Vx_T, Vxx_T, lam,
     B4 = B // 128
 
     r = lambda a: a.reshape(a.shape[:-1] + (B4, 128))
-    if packed:
+    if mode == "packed":
         ks, Ks, dV, okf = _backward_pallas_call_packed(
             config, nx, nu, N, pack_derivs_pallas(D, B4),
             r(Vx_T), r(Vxx_T), r(lam))
+    elif mode == "chunked":
+        ks, Ks, dV, okf = _backward_pallas_call_chunked(
+            config, nx, nu, N,
+            r(D.Fx), r(D.Fu), r(D.Lx), r(D.Lu), r(D.Lxx), r(D.Luu),
+            r(D.Lxu), r(Vx_T), r(Vxx_T), r(lam))
     else:
         ks, Ks, dV, okf = _backward_pallas_call(
             config, nx, nu, N,

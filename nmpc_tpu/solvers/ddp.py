@@ -928,6 +928,9 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
         reached_fwd = do_forward
 
         def trow(col, val, mask):
+            # val may be wider than the trace (fp64 cost accumulators under
+            # deriv_dtype="float64"); scatter requires matching dtypes
+            val = jnp.asarray(val, col.dtype)
             return col.at[:, it].set(jnp.where(mask, val, col[:, it]))
 
         tr = DDPTrace(

@@ -83,6 +83,61 @@ def test_pallas_backward_packed_matches_unpacked(interpret_pallas):
     assert bool(jnp.all(o1[3] == o2[3]))
 
 
+def test_pallas_backward_chunked_matches_stage(interpret_pallas, monkeypatch):
+    """Chunked-DMA kernel (opt-in experiment: 7 DMAs per C-stage chunk;
+    measured speed-neutral on chip — see backward_pallas's docstring) vs
+    the per-stage kernel — the stage math is shared, so this pins the
+    chunk addressing (base/idx bookkeeping, chunk-granular double
+    buffering).  N=12 with the chunk chooser gives C in {2,3,4,6,12}, so
+    chunk boundaries are actually crossed."""
+    from nmpc_tpu.core.types import DDPConfig
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+    from nmpc_tpu.solvers import ddp as D
+    from nmpc_tpu.kernels.ddp_backward import stack_derivs
+    import nmpc_tpu.kernels.ddp_backward_pallas as P
+
+    p = make_cartpole_problem(0.01)
+    c = DDPConfig(horizon_steps=12, max_iter=10)
+    B = 256
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 4))).astype(np.float32))
+    us = jnp.asarray(rng.normal(size=(B, 12, 1)).astype(np.float32) * 0.2)
+    xs, _ = D._rollout_stacked(p, c, 0.0, x0s, us)
+    Ds, VxT, VxxT = jax.vmap(
+        functools.partial(D._derivative_sweep, p, c),
+        in_axes=(None, 0, 0))(0.0, xs, us)
+    S = stack_derivs(Ds.Fx, Ds.Fu, Ds.Lx, Ds.Lu, Ds.Lxx, Ds.Luu, Ds.Lxu)
+    VxTs = jnp.moveaxis(VxT, 0, -1)
+    VxxTs = jnp.moveaxis(VxxT, 0, -1)
+    lam = jnp.full((B,), 1e-4, jnp.float32)
+
+    o1 = P.backward_pallas(c, S, VxTs, VxxTs, lam, packed=False)
+    monkeypatch.setenv("NMPC_PALLAS_DMA", "chunked")
+    o2 = P.backward_pallas(c, S, VxTs, VxxTs, lam)
+    for a, b in zip(o1[:3], o2[:3]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+    assert bool(jnp.all(o1[3] == o2[3]))
+
+
+def test_chunk_chooser_properties():
+    """(C, SUB) from _choose_chunk: C divides N, SUB divides B4, and the
+    scratch + double-buffered outputs fit the VMEM budget."""
+    from nmpc_tpu.kernels.ddp_backward_pallas import _choose_chunk
+
+    for (N, B4, nx, nu) in [(100, 32, 4, 1), (12, 2, 4, 1), (300, 16, 2, 1),
+                            (100, 8, 2, 2), (2000, 32, 4, 1), (7, 1, 4, 1)]:
+        out_floats = N * (nu + nu * nx)
+        F = 2 * nx * nx + 2 * nx * nu + nx + nu + nu * nu
+        C, SUB = _choose_chunk(N, B4, out_floats, F)
+        assert N % C == 0 and B4 % SUB == 0 and C >= 1 and SUB >= 1
+        # Mosaic block rule: SUB is a multiple of 8 or the full B4
+        assert SUB == B4 or SUB % 8 == 0
+        # fits the budget, or degraded to C=1 (== the stage kernel footprint)
+        assert SUB * 128 * 4 * (2 * out_floats + 2 * C * F) <= 11 * 1024 * 1024 \
+            or C == 1
+
+
 def _fmpc_backward_case(break_if_llt_fails):
     from nmpc_tpu.core.types import FmpcConfig, FmpcVariable
     from nmpc_tpu.models.oscillator import make_oscillator_problem
