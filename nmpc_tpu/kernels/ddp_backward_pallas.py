@@ -179,6 +179,218 @@ def _riccati_stage(config: DDPConfig, nx, nu, lam, zeros, fields, carry):
     return (Vx_new, Vxx_sym, dV0, dV1, ok * ok_i), kvec, K
 
 
+def _boxqp_t(H, gq, lo, hi, x0, nu, bq, zeros):
+    """Projected-Newton BoxQP on (SUB, 128) tiles — the fused in-kernel
+    analog of ``kernels/ddp_backward.boxqp_stacked`` (reference
+    ``BoxQP.h:141-347``), with two STATIC bounds that make it a pure
+    unrolled VPU computation:
+
+    - QP iterations = ``bq.unroll_iter``: a lane still unconverged after
+      that many masked projected-Newton iterations is returned ok=0, which
+      the solver's lambda-retry loop treats as a backward failure and
+      handles by raising lambda — conservative, never silently wrong.
+      (Measured trip counts on the boxed configs: median 1, p90 2, max 3
+      vs the default unroll_iter=4; benchmarks/profile_boxed_ddp.py.)
+    The Armijo backtracking evaluates the FULL step schedule
+    (``max_ls_iter + 1`` candidates, first-accept) unrolled: unlike the
+    stacked kernel — where an all-candidates sweep streams [K,n,n,B]
+    broadcasts through HBM and had to be split into head+tail — the tile
+    candidates here live entirely in registers/VMEM, so exactness costs
+    VPU ops only.  Mid-tail accepts (which do occur: fp32 ratio
+    degeneracy near active bounds backtracks past 0.6^9 on the vertical
+    config) are therefore reproduced exactly.
+
+    H [nu][nu] tiles (the regularized Quu_F), gq/lo/hi/x0 [nu] tiles.
+    Returns (x, ok, free, L) with free/L taken from the exit iteration
+    (the previous iteration's on a small-improvement exit), matching the
+    stacked kernel's ``keep_prev`` rule.
+    """
+    import numpy as np
+
+    ones = jnp.ones_like(zeros)
+
+    def clipv(v, lo_i, hi_i):
+        return jnp.minimum(jnp.maximum(v, lo_i), hi_i)
+
+    def obj_of(xv):
+        Hx = _mv_t(H, xv, nu, nu)
+        return (sum(gq[i] * xv[i] for i in range(nu))
+                + 0.5 * sum(xv[i] * Hx[i] for i in range(nu)))
+
+    # fp32-exact step schedule: repeated multiplication like the
+    # reference's sequential loop (and the stacked kernel's cumprod)
+    n_steps = bq.max_ls_iter + 1
+    steps, s = [], np.float32(1.0)
+    for _ in range(n_steps):
+        steps.append(float(s))
+        s = np.float32(s * np.float32(bq.step_factor))
+
+    x = [clipv(x0[i], lo[i], hi[i]) for i in range(nu)]
+    obj = obj_of(x)
+    old_obj = obj
+    active = ones
+    ok = ones
+    free_keep = [ones for _ in range(nu)]
+    L_keep = [[ones if i == j else zeros for j in range(nu)]
+              for i in range(nu)]
+
+    def f01(cond):
+        return jnp.where(cond, 1.0, 0.0).astype(zeros.dtype)
+
+    for it in range(1, bq.unroll_iter + 1):
+        if it > 1:
+            imp = f01((old_obj - obj)
+                      < bq.rel_improve_thre * jnp.abs(old_obj))
+        else:
+            imp = zeros
+        old_obj = jnp.where(active > 0, obj, old_obj)
+
+        Hx = _mv_t(H, x, nu, nu)
+        grad = [gq[i] + Hx[i] for i in range(nu)]
+        clamped = [f01(((x[i] == lo[i]) & (grad[i] > 0))
+                       | ((x[i] == hi[i]) & (grad[i] < 0)))
+                   for i in range(nu)]
+        free = [1.0 - clamped[i] for i in range(nu)]
+        all_clamped = clamped[0]
+        for i in range(1, nu):
+            all_clamped = all_clamped * clamped[i]
+
+        Hm = [[free[i] * free[j] * H[i][j]
+               + (clamped[i] if i == j else zeros)
+               for j in range(nu)] for i in range(nu)]
+        L, okc = _chol_t(Hm, nu)
+
+        gn2 = sum(free[i] * grad[i] * grad[i] for i in range(nu))
+        small_grad = f01(gn2 < bq.grad_thre ** 2)
+
+        cmx = [clamped[j] * x[j] for j in range(nu)]
+        Hcm = _mv_t(H, cmx, nu, nu)
+        rhs = [[free[i] * (gq[i] + Hcm[i])] for i in range(nu)]
+        sol = _chol_solve_t(L, rhs, nu, 1)
+        d = [free[i] * (-sol[i][0] - free[i] * x[i]) for i in range(nu)]
+        sdg = sum(d[i] * grad[i] for i in range(nu))
+        bad_dir = f01(sdg > 1e-10)
+
+        pre_exit = jnp.maximum(
+            jnp.maximum(jnp.maximum(imp, all_clamped),
+                        jnp.maximum(1.0 - okc, small_grad)), bad_dir)
+
+        # Armijo, first-accept over the full schedule (BoxQP.h:293-309);
+        # init = exhaustion (x unchanged — what the reference's tiny-step
+        # accept produces at fp32).  Steps below min_step are the
+        # reference's exhaustion stop, not accept candidates.
+        found = zeros
+        xa = [x[i] for i in range(nu)]
+        obja = obj
+        for sv in steps:
+            if sv < bq.min_step:
+                break
+            xc = [clipv(x[i] + sv * d[i], lo[i], hi[i]) for i in range(nu)]
+            objc = obj_of(xc)
+            acc = f01((objc - old_obj) / (sv * sdg) >= bq.armijo_param)
+            take = acc * (1.0 - found)
+            xa = [xa[i] + take * (xc[i] - xa[i]) for i in range(nu)]
+            obja = obja + take * (objc - obja)
+            found = jnp.maximum(found, acc)
+
+        take_step = active * (1.0 - pre_exit)
+        x = [x[i] + take_step * (xa[i] - x[i]) for i in range(nu)]
+        obj = obj + take_step * (obja - obj)
+
+        keep_new = active * (1.0 - imp)
+        free_keep = [free_keep[i] + keep_new * (free[i] - free_keep[i])
+                     for i in range(nu)]
+        L_keep = [[L_keep[i][j] + keep_new * (L[i][j] - L_keep[i][j])
+                   if j <= i else zeros for j in range(nu)]
+                  for i in range(nu)]
+
+        fail = active * jnp.maximum(1.0 - okc, bad_dir)
+        ok = ok * (1.0 - fail)
+        done_now = jnp.maximum(pre_exit, 1.0 - found)
+        active = active * (1.0 - done_now)
+
+    ok = ok * (1.0 - active)   # cap-out -> fail into the lambda retry
+    return x, ok, free_keep, L_keep
+
+
+def _riccati_stage_boxed(config: DDPConfig, nx, nu, lam, zeros, fields,
+                         carry):
+    """One boxed backward Riccati stage on loaded tile-fields: Q expansion
+    as in :func:`_riccati_stage`, gains via the in-kernel BoxQP
+    (``DDPSolver.hpp:450-497``).  ``carry`` adds the next stage's
+    feedforward ``k_next`` as the QP warm start."""
+    reg1 = config.reg_type == 1
+    reg2 = config.reg_type == 2
+    Vx, Vxx, dV0, dV1, ok, k_next = carry
+    Fx, Fu = fields["Fx"], fields["Fu"]
+    Lx, Lu = fields["Lx"], fields["Lu"]
+    Lxx, Luu, Lxu = fields["Lxx"], fields["Luu"], fields["Lxu"]
+    lower, upper, u = fields["lower"], fields["upper"], fields["u"]
+
+    FuT = _transpose_t(Fu, nx, nu)
+    FxT = _transpose_t(Fx, nx, nx)
+    Qu = [Lu[a] + s for a, s in enumerate(_mv_t(FuT, Vx, nu, nx))]
+    Qx = [Lx[a] + s for a, s in enumerate(_mv_t(FxT, Vx, nx, nx))]
+    FuT_Vxx = _mm_t(FuT, Vxx, nu, nx, nx)
+    LxuT = _transpose_t(Lxu, nx, nu)
+    M = _mm_t(FuT_Vxx, Fx, nu, nx, nx)
+    Qux = [[LxuT[a][b] + M[a][b] for b in range(nx)] for a in range(nu)]
+    M = _mm_t(FuT_Vxx, Fu, nu, nx, nu)
+    Quu = [[Luu[a][b] + M[a][b] for b in range(nu)] for a in range(nu)]
+    FxT_Vxx = _mm_t(FxT, Vxx, nx, nx, nx)
+    M = _mm_t(FxT_Vxx, Fx, nx, nx, nx)
+    Qxx = [[Lxx[a][b] + M[a][b] for b in range(nx)] for a in range(nx)]
+
+    if reg2:
+        Vxx_reg = [[Vxx[a][b] + (lam if a == b else zeros)
+                    for b in range(nx)] for a in range(nx)]
+        FuT_Vr = _mm_t(FuT, Vxx_reg, nu, nx, nx)
+        M = _mm_t(FuT_Vr, Fx, nu, nx, nx)
+        Qux_reg = [[LxuT[a][b] + M[a][b] for b in range(nx)]
+                   for a in range(nu)]
+        M = _mm_t(FuT_Vr, Fu, nu, nx, nu)
+        Quu_F = [[Luu[a][b] + M[a][b] for b in range(nu)]
+                 for a in range(nu)]
+    else:
+        Qux_reg = Qux
+        Quu_F = [row[:] for row in Quu]
+    if reg1:
+        Quu_F = [[Quu_F[a][b] + (lam if a == b else zeros)
+                  for b in range(nu)] for a in range(nu)]
+
+    lo_rel = [lower[i] - u[i] for i in range(nu)]
+    hi_rel = [upper[i] - u[i] for i in range(nu)]
+    kvec, ok_qp, freem, Lq = _boxqp_t(
+        Quu_F, Qu, lo_rel, hi_rel, k_next, nu, config.boxqp, zeros)
+
+    # K rows: free rows solve H_free K_free = -Qux_reg_free on the masked
+    # factorization; clamped rows are zero (DDPSolver.hpp:482-496)
+    rhs = [[freem[a] * Qux_reg[a][b] for b in range(nx)] for a in range(nu)]
+    Ksol = _chol_solve_t(Lq, rhs, nu, nx)
+    K = [[-freem[a] * Ksol[a][b] for b in range(nx)] for a in range(nu)]
+
+    Quu_k = _mv_t(Quu, kvec, nu, nu)
+    KT = _transpose_t(K, nu, nx)
+    QuxT = _transpose_t(Qux, nu, nx)
+    dV0 = dV0 + sum(kvec[a] * Qu[a] for a in range(nu))
+    dV1 = dV1 + 0.5 * sum(kvec[a] * Quu_k[a] for a in range(nu))
+
+    t1 = _mv_t(KT, Quu_k, nx, nu)
+    t2 = _mv_t(KT, Qu, nx, nu)
+    t3 = _mv_t(QuxT, kvec, nx, nu)
+    Vx_new = [Qx[a] + t1[a] + t2[a] + t3[a] for a in range(nx)]
+
+    KTQuu = _mm_t(KT, Quu, nx, nu, nu)
+    T1 = _mm_t(KTQuu, K, nx, nu, nx)
+    T2 = _mm_t(KT, Qux, nx, nu, nx)
+    Vxx_new = [[Qxx[a][b] + T1[a][b] + T2[a][b] + T2[b][a]
+                for b in range(nx)] for a in range(nx)]
+    Vxx_sym = [[0.5 * (Vxx_new[a][b] + Vxx_new[b][a])
+                for b in range(nx)] for a in range(nx)]
+
+    return ((Vx_new, Vxx_sym, dV0, dV1, ok * ok_qp, kvec), kvec, K)
+
+
 def _make_kernel_chunked(config: DDPConfig, nx: int, nu: int, N: int,
                          SUB: int, C: int):
     """Stage-chunked DMA kernel: 7 DMAs per C-stage chunk instead of per
@@ -583,6 +795,190 @@ def _backward_pallas_call(config: DDPConfig, nx, nu, N,
         scratch_shapes=scratch,
     )(Fx, Fu, Lx, Lu, Lxx, Luu, Lxu, VxT, VxxT, lam)
     return ks, Ks, dV, okf
+
+
+def _make_kernel_boxed(config: DDPConfig, nx: int, nu: int, N: int,
+                       SUB: int):
+    """Boxed-backward kernel: the unconstrained kernel's streaming layout
+    plus three per-stage bound fields (lower, upper, u) and the in-kernel
+    BoxQP of :func:`_boxqp_t`."""
+
+    def kernel(Fx_hbm, Fu_hbm, Lx_hbm, Lu_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm,
+               lo_hbm, hi_hbm, u_hbm,
+               VxT_ref, VxxT_ref, lam_ref,
+               ks_ref, Ks_ref, dV_ref, ok_ref,
+               Fx_s, Fu_s, Lx_s, Lu_s, Lxx_s, Luu_s, Lxu_s,
+               lo_s, hi_s, u_s, sems):
+        g = pl.program_id(0)
+        b0 = g * SUB
+        lam = lam_ref[:, :]
+
+        hbm = [Fx_hbm, Fu_hbm, Lx_hbm, Lu_hbm, Lxx_hbm, Luu_hbm, Lxu_hbm,
+               lo_hbm, hi_hbm, u_hbm]
+        scr = [Fx_s, Fu_s, Lx_s, Lu_s, Lxx_s, Luu_s, Lxu_s,
+               lo_s, hi_s, u_s]
+
+        def stage_dmas(slot, i):
+            out = []
+            for w, (h, s) in enumerate(zip(hbm, scr)):
+                if h.ndim == 5:
+                    src = h.at[i, :, :, pl.ds(b0, SUB), :]
+                else:
+                    src = h.at[i, :, pl.ds(b0, SUB), :]
+                out.append(pltpu.make_async_copy(src, s.at[slot],
+                                                 sems.at[w, slot]))
+            return out
+
+        for d in stage_dmas(0, N - 1):
+            d.start()
+
+        def load_mat(ref, slot, n, m):
+            return [[ref[slot, a, b] for b in range(m)] for a in range(n)]
+
+        def load_vec(ref, slot, n):
+            return [ref[slot, a] for a in range(n)]
+
+        Vx = [VxT_ref[a] for a in range(nx)]
+        Vxx = [[VxxT_ref[a, b] for b in range(nx)] for a in range(nx)]
+
+        zeros = jnp.zeros_like(lam)
+        carry0 = (Vx, Vxx, zeros, zeros, jnp.ones_like(lam),
+                  [zeros for _ in range(nu)])   # k_next warm start = 0
+
+        def body(j, carry):
+            i = N - 1 - j
+            slot = lax.rem(j, 2)
+            next_slot = lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < N)
+            def _():
+                for d in stage_dmas(next_slot, i - 1):
+                    d.start()
+
+            for d in stage_dmas(slot, i):
+                d.wait()
+
+            fields = {
+                "Fx": load_mat(Fx_s, slot, nx, nx),
+                "Fu": load_mat(Fu_s, slot, nx, nu),
+                "Lx": load_vec(Lx_s, slot, nx),
+                "Lu": load_vec(Lu_s, slot, nu),
+                "Lxx": load_mat(Lxx_s, slot, nx, nx),
+                "Luu": load_mat(Luu_s, slot, nu, nu),
+                "Lxu": load_mat(Lxu_s, slot, nx, nu),
+                "lower": load_vec(lo_s, slot, nu),
+                "upper": load_vec(hi_s, slot, nu),
+                "u": load_vec(u_s, slot, nu),
+            }
+            new_carry, kvec, K = _riccati_stage_boxed(
+                config, nx, nu, lam, zeros, fields, carry)
+
+            for a in range(nu):
+                ks_ref[i, a] = kvec[a]
+                for b in range(nx):
+                    Ks_ref[i, a, b] = K[a][b]
+
+            return new_carry
+
+        Vx, Vxx, dV0, dV1, ok, _ = lax.fori_loop(0, N, body, carry0)
+        dV_ref[0] = dV0
+        dV_ref[1] = dV1
+        ok_ref[:, :] = ok
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _backward_pallas_call_boxed(config: DDPConfig, nx, nu, N,
+                                Fx, Fu, Lx, Lu, Lxx, Luu, Lxu,
+                                lo, hi, u, VxT, VxxT, lam):
+    """Boxed variant of ``_backward_pallas_call``: three extra per-stage
+    bound inputs, same outputs."""
+    B4 = lam.shape[0]
+    dtype = Fx.dtype
+    out_floats = N * (nu + nu * nx)
+    slot_floats = 2 * (2 * nx * nx + 2 * nx * nu + nx + nu + nu * nu
+                       + 3 * nu)
+    budget = 11 * 1024 * 1024
+    SUB = B4
+    while SUB > 1 and SUB * 128 * 4 * (2 * out_floats + slot_floats) > budget:
+        SUB //= 2
+    while B4 % SUB != 0:
+        SUB //= 2
+    grid = (B4 // SUB,)
+
+    def vspec(*dims):
+        block = tuple(dims) + (SUB, 128)
+        nlead = len(dims)
+        return pl.BlockSpec(block,
+                            lambda i, nlead=nlead: (0,) * nlead + (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel_boxed(config, nx, nu, N, SUB)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, nu, B4, 128), dtype),
+        jax.ShapeDtypeStruct((N, nu, nx, B4, 128), dtype),
+        jax.ShapeDtypeStruct((2, B4, 128), dtype),
+        jax.ShapeDtypeStruct((B4, 128), jnp.float32),
+    )
+    out_specs = (vspec(N, nu), vspec(N, nu, nx), vspec(2), vspec())
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 10 + [
+        vspec(nx), vspec(nx, nx), vspec()]
+    scratch = [
+        pltpu.VMEM((2, nx, nx, SUB, 128), dtype),   # Fx
+        pltpu.VMEM((2, nx, nu, SUB, 128), dtype),   # Fu
+        pltpu.VMEM((2, nx, SUB, 128), dtype),       # Lx
+        pltpu.VMEM((2, nu, SUB, 128), dtype),       # Lu
+        pltpu.VMEM((2, nx, nx, SUB, 128), dtype),   # Lxx
+        pltpu.VMEM((2, nu, nu, SUB, 128), dtype),   # Luu
+        pltpu.VMEM((2, nx, nu, SUB, 128), dtype),   # Lxu
+        pltpu.VMEM((2, nu, SUB, 128), dtype),       # lower
+        pltpu.VMEM((2, nu, SUB, 128), dtype),       # upper
+        pltpu.VMEM((2, nu, SUB, 128), dtype),       # u
+        pltpu.SemaphoreType.DMA((10, 2)),
+    ]
+
+    ks, Ks, dV, okf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(Fx, Fu, Lx, Lu, Lxx, Luu, Lxu, lo, hi, u, VxT, VxxT, lam)
+    return ks, Ks, dV, okf
+
+
+def backward_pallas_boxed(config: DDPConfig, D, bounds, Vx_T, Vxx_T, lam):
+    """Drop-in for ``backward_stacked_boxed`` (same batch-minor layout)
+    backed by the fused boxed Pallas kernel: the whole backward recursion
+    INCLUDING the per-stage projected-Newton BoxQP runs as one VPU
+    program, with the value-function carry and QP warm start resident in
+    VMEM (``DDPSolver.hpp:450-497`` + ``BoxQP.h:141-347``).
+
+    Parity contract (pinned by tests/test_pallas_kernels.py): exact
+    agreement with the stacked boxed kernel whenever every lane's QP
+    converges within ``boxqp.unroll_iter`` iterations with Armijo accepts
+    inside the first ``boxqp.ls_block`` steps (measured on the boxed
+    model configs: max 3 QP trips, all first-step accepts).  Lanes
+    needing more QP iterations return ok=0 (handled by the solver's
+    lambda-retry); deeper Armijo backtracking takes the exhaustion exit.
+    See _boxqp_t's docstring and ARCHITECTURE.md deviations.
+    """
+    N, nx = D.Fx.shape[0], D.Fx.shape[1]
+    nu = D.Fu.shape[2]
+    B = lam.shape[-1]
+    assert B % 128 == 0, "pallas boxed backward requires B % 128 == 0"
+    B4 = B // 128
+
+    r = lambda a: a.reshape(a.shape[:-1] + (B4, 128))
+    ks, Ks, dV, okf = _backward_pallas_call_boxed(
+        config, nx, nu, N,
+        r(D.Fx), r(D.Fu), r(D.Lx), r(D.Lu), r(D.Lxx), r(D.Luu), r(D.Lxu),
+        r(bounds.lower), r(bounds.upper), r(bounds.u),
+        r(Vx_T), r(Vxx_T), r(lam))
+    unr = lambda a: a.reshape(a.shape[:-2] + (B,))
+    return unr(ks), unr(Ks), unr(dV), unr(okf) > 0.5
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))

@@ -705,11 +705,21 @@ def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
                     and jax.default_backend() == "tpu")
         impl = "pallas" if eligible else "stacked"
     if bounds is not None:
-        from nmpc_tpu.kernels.ddp_backward import backward_stacked_boxed
+        if impl == "pallas" and D2 is None:
+            # fused boxed kernel: the per-stage BoxQP runs inside the
+            # Pallas program (see backward_pallas_boxed's parity contract)
+            from nmpc_tpu.kernels.ddp_backward_pallas import (
+                backward_pallas_boxed)
 
-        def backward_stacked(config, Dst, VxT_s, VxxT_s, lam):
-            return backward_stacked_boxed(config, Dst, bounds, VxT_s,
-                                          VxxT_s, lam, D2=D2)
+            def backward_stacked(config, Dst, VxT_s, VxxT_s, lam):
+                return backward_pallas_boxed(config, Dst, bounds, VxT_s,
+                                             VxxT_s, lam)
+        else:
+            from nmpc_tpu.kernels.ddp_backward import backward_stacked_boxed
+
+            def backward_stacked(config, Dst, VxT_s, VxxT_s, lam):
+                return backward_stacked_boxed(config, Dst, bounds, VxT_s,
+                                              VxxT_s, lam, D2=D2)
     elif impl == "pallas" and D2 is None:
         from nmpc_tpu.kernels.ddp_backward_pallas import (
             backward_pallas as backward_stacked)

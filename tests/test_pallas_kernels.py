@@ -120,6 +120,96 @@ def test_pallas_backward_chunked_matches_stage(interpret_pallas, monkeypatch):
     assert bool(jnp.all(o1[3] == o2[3]))
 
 
+def _boxed_backward_case():
+    """First-iteration stacked derivative data for the vertical-motion
+    boxed config (time-varying input dims + control limits), the same
+    construction as benchmarks/profile_boxed_ddp.py."""
+    from nmpc_tpu.core.types import DDPConfig
+    from nmpc_tpu.models.vertical import make_vertical_problem
+    from nmpc_tpu.solvers import ddp as Dmod
+    from nmpc_tpu.kernels.ddp_backward import StackedBounds, StackedDerivs
+    from nmpc_tpu.kernels.lanes import block_lanes, lane_factors
+
+    from nmpc_tpu.core.types import BoxQPConfig
+
+    problem = make_vertical_problem(0.01)
+    N, B = 20, 128
+    # max_ls_iter=16 keeps the interpreter tractable (the kernel unrolls
+    # the full schedule); both paths share the schedule, so parity is
+    # pinned on the same semantics — full-width parity is checked compiled
+    # on the real chip by benchmarks/profile_boxed_ddp.py
+    config = DDPConfig(horizon_steps=N, max_iter=3, initial_lambda=1e-6,
+                       with_input_constraint=True,
+                       boxqp=BoxQPConfig(max_ls_iter=16))
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([1.2, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 2))).astype(np.float32))
+    us0 = jnp.asarray(
+        0.02 * rng.normal(size=(B, N, 2)).astype(np.float32))
+    t0 = jnp.float32(0.0)
+    S, L = lane_factors(B)
+    xs_l, _ = Dmod._rollout_lanes(problem, config, t0,
+                                  block_lanes(x0s, 0, S, L),
+                                  block_lanes(us0, 0, S, L))
+    D, VxT, VxxT = Dmod._derivative_sweep_lanes(
+        problem, config, t0, xs_l, block_lanes(us0, 0, S, L))
+    flat = lambda a: a.reshape(a.shape[:-2] + (B,))
+    Dst = StackedDerivs(Fx=flat(D.Fx), Fu=flat(D.Fu), Lx=flat(D.Lx),
+                        Lu=flat(D.Lu), Lxx=flat(D.Lxx), Luu=flat(D.Luu),
+                        Lxu=flat(D.Lxu))
+    bounds = StackedBounds(lower=flat(D.lower), upper=flat(D.upper),
+                           u=flat(D.u))
+    lam = jnp.full((B,), 1e-6, jnp.float32)
+    return config, Dst, bounds, flat(VxT), flat(VxxT), lam
+
+
+def test_pallas_boxed_backward_matches_stacked(interpret_pallas):
+    """Fused boxed kernel (in-kernel BoxQP) vs the stacked boxed kernel on
+    real vertical-motion derivative data — active control limits, masked
+    input dims, QP warm starts.  The parity contract is exact agreement
+    when QP trips <= unroll_iter and accepts land in the Armijo head
+    (measured true for the boxed model configs)."""
+    from nmpc_tpu.kernels.ddp_backward import backward_stacked_boxed
+    from nmpc_tpu.kernels.ddp_backward_pallas import backward_pallas_boxed
+
+    config, Dst, bounds, VxT_f, VxxT_f, lam = _boxed_backward_case()
+    o1 = backward_stacked_boxed(config, Dst, bounds, VxT_f, VxxT_f, lam)
+    o2 = backward_pallas_boxed(config, Dst, bounds, VxT_f, VxxT_f, lam)
+    for name, a, b in zip(("ks", "Ks", "dV"), o1[:3], o2[:3]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6,
+                                   err_msg=name)
+    assert bool(jnp.all(o1[3] == o2[3]))
+
+
+def test_pallas_boxed_solve_end_to_end(interpret_pallas):
+    """Full boxed solve_batch through backward_impl='pallas' vs 'stacked':
+    same trajectories, statuses, and in-box inputs."""
+    import dataclasses
+    from nmpc_tpu.core.types import BoxQPConfig, DDPConfig
+    from nmpc_tpu.models.vertical import make_vertical_problem
+    from nmpc_tpu import DDPSolver
+
+    problem = make_vertical_problem(0.01)
+    N, B = 20, 128
+    base = DDPConfig(horizon_steps=N, max_iter=3, initial_lambda=1e-6,
+                     with_input_constraint=True,
+                     boxqp=BoxQPConfig(max_ls_iter=16))
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray((np.tile([1.2, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 2))).astype(np.float32))
+    us0 = jnp.zeros((B, N, 2), jnp.float32)
+    r_st = DDPSolver(problem, dataclasses.replace(
+        base, backward_impl="stacked")).solve_batch(
+            jnp.float32(0.0), x0s, us0)
+    r_pl = DDPSolver(problem, dataclasses.replace(
+        base, backward_impl="pallas")).solve_batch(
+            jnp.float32(0.0), x0s, us0)
+    assert bool(jnp.all(r_st.status == r_pl.status))
+    assert bool(jnp.all(r_st.iters == r_pl.iters))
+    np.testing.assert_allclose(np.asarray(r_pl.us), np.asarray(r_st.us),
+                               atol=1e-5)
+
+
 def test_chunk_chooser_properties():
     """(C, SUB) from _choose_chunk: C divides N, SUB divides B4, and the
     scratch + double-buffered outputs fit the VMEM budget."""
