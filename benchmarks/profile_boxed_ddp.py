@@ -74,6 +74,23 @@ def main():
     results["backward_boxed_ms"] = t_box * 1e3
     results["boxed_over_unconstrained"] = t_box / t_unc
 
+    # fused boxed Pallas kernel (round 4: full stacked semantics in-kernel,
+    # while-loop Armijo tail + QP continuation) — parity + time on chip
+    if jax.default_backend() == "tpu" and B % 128 == 0:
+        from nmpc_tpu.kernels.ddp_backward_pallas import backward_pallas_boxed
+
+        f_pl = jax.jit(lambda *a: backward_pallas_boxed(config, *a))
+        t_pl = device_time_min(f_pl, Dst, bounds, VxT_f, VxxT_f, lam)
+        results["backward_boxed_pallas_ms"] = t_pl * 1e3
+        results["boxed_pallas_speedup_vs_stacked"] = t_box / t_pl
+        results["boxed_pallas_over_unconstrained"] = t_pl / t_unc
+        o_st = f_box(Dst, bounds, VxT_f, VxxT_f, lam)
+        o_pl = f_pl(Dst, bounds, VxT_f, VxxT_f, lam)
+        results["boxed_pallas_ks_max_err"] = float(
+            np.abs(np.asarray(o_st[0]) - np.asarray(o_pl[0])).max())
+        results["boxed_pallas_ok_equal"] = bool(
+            (np.asarray(o_st[3]) == np.asarray(o_pl[3])).all())
+
     # per-stage BoxQP trip counts (global while_loop => max over lanes)
     *_, qp_iters = backward_stacked_boxed(config, Dst, bounds, VxT_f, VxxT_f,
                                           lam, with_qp_iters=True)
@@ -100,10 +117,24 @@ def main():
     # end-to-end solves at the bench config, for the headline ratio
     from nmpc_tpu import DDPSolver
 
-    solver = DDPSolver(problem, config)
+    solver = DDPSolver(problem, dataclasses.replace(
+        config, backward_impl="stacked"))
     t_solve = device_time_min(solver.solve_batch, t0, x0s, us0, reps=6)
     results["solve_boxed_ms"] = t_solve * 1e3
     results["solve_boxed_solves_per_s"] = B / t_solve
+
+    if jax.default_backend() == "tpu" and B % 128 == 0:
+        solver_p = DDPSolver(problem, dataclasses.replace(
+            config, backward_impl="pallas"))
+        t_sp = device_time_min(solver_p.solve_batch, t0, x0s, us0, reps=6)
+        results["solve_boxed_pallas_ms"] = t_sp * 1e3
+        results["solve_boxed_pallas_solves_per_s"] = B / t_sp
+        r_st = solver.solve_batch(t0, x0s, us0)
+        r_pl = solver_p.solve_batch(t0, x0s, us0)
+        results["solve_boxed_pallas_u_max_err"] = float(
+            np.abs(np.asarray(r_st.us) - np.asarray(r_pl.us)).max())
+        results["solve_boxed_pallas_status_equal"] = bool(
+            (np.asarray(r_st.status) == np.asarray(r_pl.status)).all())
 
     cfg_u = dataclasses.replace(config, with_input_constraint=False)
     solver_u = DDPSolver(problem, cfg_u)

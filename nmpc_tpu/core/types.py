@@ -163,11 +163,14 @@ class BoxQPConfig:
     # the exhaustion exit was unreachable)
     max_ls_iter: int = 104
     # number of projected-Newton iterations unrolled (masked) before the
-    # while_loop continuation in the batched kernel: unrolled iterations
-    # fuse into the surrounding scan with no per-trip dispatch overhead,
-    # while the continuation preserves exact reference semantics for the
-    # rare lanes needing more (measured: median 1 / p90 10 trips on the
-    # vertical-motion config; benchmarks/profile_boxed_ddp.py)
+    # while_loop continuation — in BOTH the stacked batched kernel and the
+    # fused Pallas kernel (round 4: the Pallas kernel gained the same
+    # while-loop continuation to max_iter, so this is a perf-only split
+    # everywhere, never a correctness cap): unrolled iterations fuse with
+    # no per-trip dispatch overhead, the continuation preserves exact
+    # reference semantics for the rare lanes needing more (measured:
+    # median 1 / p90 2 / max 3 trips on the vertical-motion config;
+    # benchmarks/profile_boxed_ddp.py)
     unroll_iter: int = 4
     # width of the PARALLEL Armijo head in the batched kernel: the first
     # ls_block candidates (steps 1, 0.6, ..., 0.6^(ls_block-1)) are

@@ -223,12 +223,20 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
         any_stop = jnp.any(stop, axis=0)                     # [B]
         # first stopping index per lane; select via one-hot reduction —
         # take_along_axis lowers to a gather, which is far slower than a
-        # K-sized masked reduce on TPU
-        k_star = jnp.argmax(stop, axis=0)                    # [B]
+        # K-sized masked reduce on TPU.  A lane with no stop takes the
+        # LAST-visited candidate (K1-1): if the head covers the whole
+        # schedule that is the reference's exhaustion result (the last —
+        # tiniest — candidate is accepted, BoxQP.h:298-309); otherwise the
+        # tail overwrites it on its first trip.
+        k_star = jnp.where(any_stop, jnp.argmax(stop, axis=0),
+                           jnp.int32(K1 - 1))                # [B]
         onehot = (jnp.arange(K1)[:, None] == k_star[None, :]).astype(dtype)
         x_cand = jnp.sum(xc * onehot[:, None, :], axis=0)
         obj_cand = jnp.sum(objc * onehot, axis=0)
         ls_exhausted = jnp.sum((below & ~accept) * onehot, axis=0) > 0.5
+        if K1 == n_ls:
+            # head covered the whole schedule: no-stop lanes exhausted it
+            ls_exhausted = ls_exhausted | ~any_stop
 
         # sequential tail (steps K1..max_ls_iter) for lanes with no accept
         # in the head; zero trips in the common case
@@ -245,9 +253,15 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
                 obj1 = _obj_bl(xc1, H, g)
                 acc1 = (obj1 - old_obj) / (step * sdg) >= config.armijo_param
                 bel1 = step < config.min_step
+                # every undone lane tracks its LAST-visited candidate: its
+                # stop candidate when it stops here, the schedule's final
+                # candidate when it exhausts without a stop — the
+                # reference's exhaustion rule (BoxQP.h:298-309 accepts the
+                # last — tiniest — candidate)
+                upd = ~done
+                xt = jnp.where(upd[None], xc1, xt)
+                objt = jnp.where(upd, obj1, objt)
                 stop1 = (acc1 | bel1) & ~done
-                xt = jnp.where(stop1[None], xc1, xt)
-                objt = jnp.where(stop1, obj1, objt)
                 exh = exh | (stop1 & bel1 & ~acc1)
                 return (step, xt, objt, exh, k + 1, done | stop1)
 
@@ -256,9 +270,9 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
             _, x_cand, obj_cand, exh_t, _, done_t = lax.while_loop(
                 ls_cond, ls_body, s0)
             # a lane still not done when k hits n_ls exhausted the schedule
-            # with its last (tiny-step) candidate pending — the loop always
-            # stops first via below=True since steps shrink past min_step,
-            # but keep the flag exact for nonstandard configs
+            # and holds its last-visited candidate in x_cand (with the
+            # default config steps shrink past min_step first, so this only
+            # triggers for truncated max_ls_iter schedules)
             ls_exhausted = ls_exhausted | exh_t | (need_tail & ~done_t)
 
         status = c.status

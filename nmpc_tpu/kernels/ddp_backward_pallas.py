@@ -182,23 +182,24 @@ def _riccati_stage(config: DDPConfig, nx, nu, lam, zeros, fields, carry):
 def _boxqp_t(H, gq, lo, hi, x0, nu, bq, zeros):
     """Projected-Newton BoxQP on (SUB, 128) tiles — the fused in-kernel
     analog of ``kernels/ddp_backward.boxqp_stacked`` (reference
-    ``BoxQP.h:141-347``), with two STATIC bounds that make it a pure
-    unrolled VPU computation:
+    ``BoxQP.h:141-347``), with IDENTICAL semantics (round 4):
 
-    - QP iterations = ``bq.unroll_iter``: a lane still unconverged after
-      that many masked projected-Newton iterations is returned ok=0, which
-      the solver's lambda-retry loop treats as a backward failure and
-      handles by raising lambda — conservative, never silently wrong.
-      (Measured trip counts on the boxed configs: median 1, p90 2, max 3
-      vs the default unroll_iter=4; benchmarks/profile_boxed_ddp.py.)
-    The Armijo backtracking evaluates the FULL step schedule
-    (``max_ls_iter + 1`` candidates, first-accept) unrolled: unlike the
-    stacked kernel — where an all-candidates sweep streams [K,n,n,B]
-    broadcasts through HBM and had to be split into head+tail — the tile
-    candidates here live entirely in registers/VMEM, so exactness costs
-    VPU ops only.  Mid-tail accepts (which do occur: fp32 ratio
-    degeneracy near active bounds backtracks past 0.6^9 on the vertical
-    config) are therefore reproduced exactly.
+    - QP iterations: ``min(unroll_iter, max_iter)`` iterations unrolled
+      (pure VPU code, no loop dispatch), then a masked ``lax.while_loop``
+      continuation up to ``max_iter`` for the rare lanes needing more —
+      the same unroll+continuation split as ``boxqp_stacked``.  A lane
+      reaching ``max_iter`` exits MAX_ITER = success, like the stacked
+      path and the reference (``BoxQP.h:332-336``).
+    - Armijo backtracking: the first ``ls_block`` candidates unrolled
+      (first-stop select — in practice every accept lands here), then a
+      masked ``lax.while_loop`` tail over the rest of the schedule; a
+      lane exhausting the schedule without an accept takes the
+      LAST-VISITED candidate and exits MAX_LS_ITER, exactly like the
+      stacked kernel (and the reference's tiny-step accept,
+      ``BoxQP.h:298-309``).
+    - All selections use ``jnp.where`` (bit-exact), never arithmetic
+      masking: a selected candidate must compare ``==`` against the
+      bounds in the next iteration's clamped-set test.
 
     H [nu][nu] tiles (the regularized Quu_F), gq/lo/hi/x0 [nu] tiles.
     Returns (x, ok, free, L) with free/L taken from the exit iteration
@@ -208,6 +209,14 @@ def _boxqp_t(H, gq, lo, hi, x0, nu, bq, zeros):
     import numpy as np
 
     ones = jnp.ones_like(zeros)
+    dtype = zeros.dtype
+
+    def f01(cond):
+        return jnp.where(cond, 1.0, 0.0).astype(dtype)
+
+    def sel(mask, a, b):
+        """jnp.where on an f32 0/1 mask — bit-exact select."""
+        return jnp.where(mask > 0, a, b)
 
     def clipv(v, lo_i, hi_i):
         return jnp.minimum(jnp.maximum(v, lo_i), hi_i)
@@ -219,31 +228,36 @@ def _boxqp_t(H, gq, lo, hi, x0, nu, bq, zeros):
 
     # fp32-exact step schedule: repeated multiplication like the
     # reference's sequential loop (and the stacked kernel's cumprod)
-    n_steps = bq.max_ls_iter + 1
+    n_ls = bq.max_ls_iter + 1
+    K1 = min(bq.ls_block, n_ls)
     steps, s = [], np.float32(1.0)
-    for _ in range(n_steps):
+    for _ in range(n_ls):
         steps.append(float(s))
         s = np.float32(s * np.float32(bq.step_factor))
 
-    x = [clipv(x0[i], lo[i], hi[i]) for i in range(nu)]
-    obj = obj_of(x)
-    old_obj = obj
-    active = ones
-    ok = ones
-    free_keep = [ones for _ in range(nu)]
-    L_keep = [[ones if i == j else zeros for j in range(nu)]
-              for i in range(nu)]
+    ntri = nu * (nu + 1) // 2
 
-    def f01(cond):
-        return jnp.where(cond, 1.0, 0.0).astype(zeros.dtype)
+    def tri_flat(L):
+        return [L[i][j] for i in range(nu) for j in range(i + 1)]
 
-    for it in range(1, bq.unroll_iter + 1):
-        if it > 1:
+    def tri_unflat(flat):
+        out = [[zeros] * nu for _ in range(nu)]
+        k = 0
+        for i in range(nu):
+            for j in range(i + 1):
+                out[i][j] = flat[k]
+                k += 1
+        return out
+
+    def qp_iter(x, obj, old_obj, active, ok, free_keep, L_keep, first):
+        """One masked projected-Newton iteration (mirror of
+        ``boxqp_stacked``'s body)."""
+        if first:
+            imp = zeros
+        else:
             imp = f01((old_obj - obj)
                       < bq.rel_improve_thre * jnp.abs(old_obj))
-        else:
-            imp = zeros
-        old_obj = jnp.where(active > 0, obj, old_obj)
+        old_obj = sel(active, obj, old_obj)
 
         Hx = _mv_t(H, x, nu, nu)
         grad = [gq[i] + Hx[i] for i in range(nu)]
@@ -275,41 +289,139 @@ def _boxqp_t(H, gq, lo, hi, x0, nu, bq, zeros):
             jnp.maximum(jnp.maximum(imp, all_clamped),
                         jnp.maximum(1.0 - okc, small_grad)), bad_dir)
 
-        # Armijo, first-accept over the full schedule (BoxQP.h:293-309);
-        # init = exhaustion (x unchanged — what the reference's tiny-step
-        # accept produces at fp32).  Steps below min_step are the
-        # reference's exhaustion stop, not accept candidates.
-        found = zeros
+        # ---- Armijo head: first K1 candidates unrolled, first-stop ----
+        found = zeros      # stopped (accept, or below-min_step forced)
+        exh = zeros        # stopped without a true Armijo accept
         xa = [x[i] for i in range(nu)]
         obja = obj
-        for sv in steps:
-            if sv < bq.min_step:
-                break
+        xl, objl = xa, obja          # last-visited candidate
+        head_hit_min = False
+        for idx in range(K1):
+            sv = steps[idx]
+            below = sv < bq.min_step  # static
             xc = [clipv(x[i] + sv * d[i], lo[i], hi[i]) for i in range(nu)]
             objc = obj_of(xc)
             acc = f01((objc - old_obj) / (sv * sdg) >= bq.armijo_param)
-            take = acc * (1.0 - found)
-            xa = [xa[i] + take * (xc[i] - xa[i]) for i in range(nu)]
-            obja = obja + take * (objc - obja)
-            found = jnp.maximum(found, acc)
+            stop = ones if below else acc
+            take = stop * (1.0 - found)
+            xa = [sel(take, xc[i], xa[i]) for i in range(nu)]
+            obja = sel(take, objc, obja)
+            if below:
+                exh = jnp.maximum(exh, take * (1.0 - acc))
+            found = jnp.maximum(found, stop)
+            xl, objl = xc, objc
+            if below:
+                head_hit_min = True
+                break
+
+        if head_hit_min or K1 >= n_ls:
+            # the head covered the whole schedule: no-stop lanes take the
+            # last-visited candidate with the exhaustion exit
+            nt = 1.0 - found
+            xa = [sel(nt, xl[i], xa[i]) for i in range(nu)]
+            obja = sel(nt, objl, obja)
+            exh = jnp.maximum(exh, nt)
+        else:
+            # ---- masked sequential tail over the rest of the schedule;
+            # zero trips in the common case ----
+            need_tail = active * (1.0 - pre_exit) * (1.0 - found)
+
+            def ls_cond(st):
+                k, _, done = st[0], st[1], st[2]
+                return (jnp.sum(1.0 - done) > 0) & (k < n_ls)
+
+            def ls_body(st):
+                k, step, done, exh_t, obja_t = st[:5]
+                xt = list(st[5:])
+                step = step * np.float32(bq.step_factor)
+                xc = [clipv(x[i] + step * d[i], lo[i], hi[i])
+                      for i in range(nu)]
+                objc = obj_of(xc)
+                acc = f01((objc - old_obj) / (step * sdg)
+                          >= bq.armijo_param)
+                belf = f01(step < np.float32(bq.min_step))
+                upd = 1.0 - done
+                # track the last-visited candidate for every undone lane:
+                # its stop candidate when it stops, the schedule's last
+                # candidate on exhaustion (BoxQP.h:298-309 accepts the
+                # last — tiniest — candidate)
+                xt = [sel(upd, xc[i], xt[i]) for i in range(nu)]
+                obja_t = sel(upd, objc, obja_t)
+                stopf = jnp.maximum(acc, belf) * upd
+                exh_t = jnp.maximum(exh_t, stopf * belf * (1.0 - acc))
+                done = jnp.maximum(done, stopf)
+                return (k + 1, step, done, exh_t, obja_t, *xt)
+
+            st = (jnp.int32(K1), jnp.float32(steps[K1 - 1]),
+                  1.0 - need_tail, zeros, obja, *xa)
+            st = lax.while_loop(ls_cond, ls_body, st)
+            done_f, exh_t, obja = st[2], st[3], st[4]
+            xa = list(st[5:])
+            # lanes exhausting the schedule (still undone) hold the
+            # last-visited candidate in xa; flag them exhausted
+            exh = jnp.maximum(exh, jnp.maximum(exh_t, 1.0 - done_f))
 
         take_step = active * (1.0 - pre_exit)
-        x = [x[i] + take_step * (xa[i] - x[i]) for i in range(nu)]
-        obj = obj + take_step * (obja - obj)
+        x = [sel(take_step, xa[i], x[i]) for i in range(nu)]
+        obj = sel(take_step, obja, obj)
 
         keep_new = active * (1.0 - imp)
-        free_keep = [free_keep[i] + keep_new * (free[i] - free_keep[i])
+        free_keep = [sel(keep_new, free[i], free_keep[i])
                      for i in range(nu)]
-        L_keep = [[L_keep[i][j] + keep_new * (L[i][j] - L_keep[i][j])
+        L_keep = [[sel(keep_new, L[i][j], L_keep[i][j])
                    if j <= i else zeros for j in range(nu)]
                   for i in range(nu)]
 
         fail = active * jnp.maximum(1.0 - okc, bad_dir)
         ok = ok * (1.0 - fail)
-        done_now = jnp.maximum(pre_exit, 1.0 - found)
+        # exhaustion terminates the lane (MAX_LS_ITER, a success code);
+        # accepted lanes keep iterating
+        done_now = jnp.maximum(pre_exit, exh)
         active = active * (1.0 - done_now)
+        return x, obj, old_obj, active, ok, free_keep, L_keep
 
-    ok = ok * (1.0 - active)   # cap-out -> fail into the lambda retry
+    x = [clipv(x0[i], lo[i], hi[i]) for i in range(nu)]
+    obj = obj_of(x)
+    old_obj = obj
+    active = ones
+    ok = ones
+    free_keep = [ones for _ in range(nu)]
+    L_keep = [[ones if i == j else zeros for j in range(nu)]
+              for i in range(nu)]
+
+    n_unroll = max(1, min(bq.unroll_iter, bq.max_iter))
+    for it in range(1, n_unroll + 1):
+        x, obj, old_obj, active, ok, free_keep, L_keep = qp_iter(
+            x, obj, old_obj, active, ok, free_keep, L_keep,
+            first=(it == 1))
+
+    if n_unroll < bq.max_iter:
+        # masked while continuation to max_iter — exact stacked semantics
+        # (a lane still active at the cap exits MAX_ITER = success)
+        def qp_cond(c):
+            it, act = c[0], c[3 + nu]
+            return (jnp.sum(act) > 0) & (it < bq.max_iter)
+
+        def qp_body(c):
+            it = c[0]
+            xs = list(c[1:1 + nu])
+            objv, old = c[1 + nu], c[2 + nu]
+            act, okv = c[3 + nu], c[4 + nu]
+            fks = list(c[5 + nu:5 + 2 * nu])
+            Lk = tri_unflat(list(c[5 + 2 * nu:5 + 2 * nu + ntri]))
+            xs, objv, old, act, okv, fks, Lk = qp_iter(
+                xs, objv, old, act, okv, fks, Lk, first=False)
+            return (it + 1, *xs, objv, old, act, okv, *fks,
+                    *tri_flat(Lk))
+
+        c0 = (jnp.int32(n_unroll), *x, obj, old_obj, active, ok,
+              *free_keep, *tri_flat(L_keep))
+        c = lax.while_loop(qp_cond, qp_body, c0)
+        x = list(c[1:1 + nu])
+        ok = c[4 + nu]
+        free_keep = list(c[5 + nu:5 + 2 * nu])
+        L_keep = tri_unflat(list(c[5 + 2 * nu:5 + 2 * nu + ntri]))
+
     return x, ok, free_keep, L_keep
 
 
@@ -517,7 +629,15 @@ def _choose_chunk(N: int, B4: int, out_floats: int, F: int):
                     best = (s * c, s, c)
                 break
     if best is None:
-        return 1, min(subs)
+        # degrade SUB toward 1 like the stage-kernel chooser so the
+        # chunked path always fits the VMEM budget (min(subs) can be
+        # >= 8, which overflows for large N * out_floats)
+        sub = min(subs)
+        while sub > 1 and sub * 128 * 4 * (2 * out_floats + 2 * F) > budget:
+            sub //= 2
+        while B4 % sub:
+            sub //= 2
+        return 1, sub
     return best[2], best[1]
 
 
@@ -956,14 +1076,16 @@ def backward_pallas_boxed(config: DDPConfig, D, bounds, Vx_T, Vxx_T, lam):
     program, with the value-function carry and QP warm start resident in
     VMEM (``DDPSolver.hpp:450-497`` + ``BoxQP.h:141-347``).
 
-    Parity contract (pinned by tests/test_pallas_kernels.py): exact
-    agreement with the stacked boxed kernel whenever every lane's QP
-    converges within ``boxqp.unroll_iter`` iterations with Armijo accepts
-    inside the first ``boxqp.ls_block`` steps (measured on the boxed
-    model configs: max 3 QP trips, all first-step accepts).  Lanes
-    needing more QP iterations return ok=0 (handled by the solver's
-    lambda-retry); deeper Armijo backtracking takes the exhaustion exit.
-    See _boxqp_t's docstring and ARCHITECTURE.md deviations.
+    Parity contract (round 4, pinned by tests/test_pallas_kernels.py):
+    the in-kernel BoxQP runs the SAME semantics as ``boxqp_stacked`` —
+    unrolled head + masked while-loop continuations for both the QP
+    iterations (to ``max_iter``) and the Armijo schedule (full schedule;
+    exhaustion takes the last-visited candidate) — so agreement is exact
+    in interpreter mode and within fp32 reassociation noise compiled on
+    chip (measured 2026-08-20, vertical-motion B=1024 N=100, default
+    BoxQP config: ks max err 1.3e-5 single backward; 18x faster than the
+    stacked boxed backward, 1.19x the unconstrained backward;
+    benchmarks/profile_boxed_ddp.py).
     """
     N, nx = D.Fx.shape[0], D.Fx.shape[1]
     nu = D.Fu.shape[2]

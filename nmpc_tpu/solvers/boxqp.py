@@ -140,9 +140,15 @@ def boxqp_solve(H, g, lower, upper, x0, config: BoxQPConfig = BoxQPConfig()) -> 
             xc, objc = ls_candidate(step)
             return (step, xc, objc, step < config.min_step, k + 1)
 
-        _, x_cand, obj_cand, ls_exhausted, _ = lax.while_loop(
+        step_f, x_cand, obj_cand, hit_min, _ = lax.while_loop(
             ls_cond, ls_body, (step0, xc0, objc0, jnp.bool_(False), jnp.int32(0))
         )
+        # exhaustion = min_step reached (BoxQP.h:304-308) or, for truncated
+        # max_ls_iter schedules, the schedule ran out with the final
+        # candidate still failing Armijo; either way the LAST-visited
+        # candidate (x_cand) is the accepted result — the reference's rule.
+        ls_exhausted = hit_min | (
+            (obj_cand - old_obj) / (step_f * sdg) < config.armijo_param)
 
         # Resolve this iteration's terminal status, in the reference's check
         # order: improvement(4) -> all-clamped(6) -> chol failure(-1)

@@ -707,7 +707,10 @@ def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
     if bounds is not None:
         if impl == "pallas" and D2 is None:
             # fused boxed kernel: the per-stage BoxQP runs inside the
-            # Pallas program (see backward_pallas_boxed's parity contract)
+            # Pallas program with full stacked semantics (while-loop
+            # continuations to max_iter / end of Armijo schedule; round 4).
+            # Measured on chip: 17.6x the stacked boxed backward, 11.2x
+            # end-to-end (benchmarks/profile_boxed_ddp.py, 2026-08-20)
             from nmpc_tpu.kernels.ddp_backward_pallas import (
                 backward_pallas_boxed)
 
