@@ -26,7 +26,24 @@ BASELINE_SOLVES_PER_S = 10_000.0
 
 
 def main():
+    import jax
+
     from benchmarks.timing import device_time_min
+
+    # On-chip pallas-vs-stacked parity gate (VERDICT r3 item #2): rounds 2
+    # and 3 each shipped a default fast path whose compiled kernel diverged
+    # from the stacked reference path; this asserts, on the real chip and
+    # BEFORE timing, that every default Pallas kernel matches the stacked
+    # kernel at the bench shapes, and records pass/fail + max-err in the
+    # bench JSON the driver archives every round.
+    parity = None
+    if jax.default_backend() == "tpu":
+        from benchmarks.parity_gate import run_parity_gate
+
+        try:
+            parity = run_parity_gate()
+        except Exception as e:  # noqa: BLE001 — never mask the perf number
+            parity = {"pass": False, "error": repr(e)[:300]}
 
     # BASELINE.json config #1: cart-pole swing-up, horizon 100.
     problem = make_cartpole_problem(0.01)
@@ -44,12 +61,15 @@ def main():
 
     t = device_time_min(solver.solve_batch, t0, x0s, us0, reps=6, trials=3)
     solves_per_s = B / t
-    print(json.dumps({
+    out = {
         "metric": "ddp_cartpole_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
-    }))
+    }
+    if parity is not None:
+        out["parity"] = parity
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -629,15 +629,16 @@ def _choose_chunk(N: int, B4: int, out_floats: int, F: int):
                     best = (s * c, s, c)
                 break
     if best is None:
-        # degrade SUB toward 1 like the stage-kernel chooser so the
-        # chunked path always fits the VMEM budget (min(subs) can be
-        # >= 8, which overflows for large N * out_floats)
-        sub = min(subs)
-        while sub > 1 and sub * 128 * 4 * (2 * out_floats + 2 * F) > budget:
-            sub //= 2
-        while B4 % sub:
-            sub //= 2
-        return 1, sub
+        # degrade SUB through the LEGAL set (multiples of 8 or B4 itself —
+        # the Mosaic block rule) to the smallest footprint at C=1; if even
+        # that overflows the budget nothing fits and the caller's
+        # pallas_call reports it (this chunked path is an opt-in
+        # experiment; `backward_pallas`'s default stage kernel has its own
+        # chooser)
+        for sub in sorted(subs):
+            if sub * 128 * 4 * (2 * out_floats + 2 * F) <= budget:
+                return 1, sub
+        return 1, min(subs)
     return best[2], best[1]
 
 

@@ -590,7 +590,8 @@ def _derivative_sweep_lanes(problem, config, t0, xs_l, us_l):
     return D, Vx_T, Vxx_T
 
 
-def _forward_costs_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l):
+def _forward_costs_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l,
+                         alphas_override=None):
     """Cost-only line-search rollout, all alphas at once (TPU redesign of
     the reference's serial alpha loop, ``DDPSolver.hpp:242-265,537-560``).
 
@@ -601,6 +602,10 @@ def _forward_costs_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l):
     The accepted trajectory is re-rolled once by
     :func:`_forward_selected_lanes` (bitwise-identical lane math).
 
+    ``alphas_override`` evaluates a subset of the schedule (the head/tail
+    split in ``_solve_stacked``: the full sweep only runs for iterations
+    where some lane rejects alpha[0]).
+
     xs_l [N+1, nx, S, L], us_l/ks_l [N, nu, S, L], Ks_l [N, nu, nx, S, L].
     Returns per-alpha total costs [A, S, L].
     """
@@ -609,7 +614,9 @@ def _forward_costs_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l):
     N = config.horizon_steps
     dtype = xs_l.dtype
     S, L = xs_l.shape[-2:]
-    alphas = jnp.asarray(config.alpha_list, dtype)
+    alphas = (jnp.asarray(config.alpha_list, dtype)
+              if alphas_override is None
+              else jnp.asarray(alphas_override, dtype))
     A = alphas.shape[0]
     ts = t0 + problem.dt * jnp.arange(N, dtype=dtype)
 
@@ -886,36 +893,76 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                      & (lam < config.lambda_thre))
         status = jnp.where(term_grad, jnp.int32(DDPStatus.SUCCEEDED), status)
 
-        # Step 3: forward line search — cost-only rollout of all alphas
-        # (alpha on a small leading axis; per-stage refs streamed once),
-        # then ONE re-rollout of the per-lane accepted alpha.
-        cand_sums = flat(f_costs(t0, s.xs, s.us, ks, Ks))          # [A, B]
+        # Step 3 (round 4 redesign): head-first forward line search.  The
+        # reference tries alphas SERIALLY with an early exit
+        # (DDPSolver.hpp:242-265); in practice alpha_list[0]=1 accepts on
+        # almost every iteration once lambda settles, yet the r1-r3 design
+        # paid the full 11-alpha cost-only sweep (measured 0.351 ms of the
+        # 0.675 ms iteration at the headline config — the top line of the
+        # whole solve, tools/profile_solve_phases.py) PLUS a re-rollout
+        # every iteration.  Now: materialize the alpha[0] rollout once
+        # (doubling as the accepted trajectory), and run the full sweep +
+        # per-lane re-rollout only under lax.cond when some running lane
+        # rejects alpha[0].
         cost_old = flat(jnp.sum(s.costs, axis=0))                  # [B]
-        actual = cost_old[None, :] - cand_sums                     # [A, B]
         expected = -alphas[:, None] * (dV[0][None, :]
                                        + alphas[:, None] * dV[1][None, :])
-        ratio = jnp.where(expected < 0,
-                          jnp.where(actual >= 0, 1.0, -1.0),
-                          actual / expected)
-        accept_mask = ratio > config.cost_update_ratio_thre        # [A, B]
-        fw_success = jnp.any(accept_mask, axis=0)                  # [B]
-        first_idx = jnp.argmax(accept_mask, axis=0)
-        idx = jnp.where(fw_success, first_idx, A - 1)              # [B]
-
         do_forward = running & ~bw_failed & ~term_grad
+        # common dtype for the cond branches' scalar outputs (the tail's
+        # cost sums may be wider under deriv_dtype="float64")
+        wdtype = jnp.promote_types(dtype, _deriv_dtype_of(config, dtype))
+
+        def ratio_of(actual_a, expected_a):
+            return jnp.where(expected_a < 0,
+                             jnp.where(actual_a >= 0, 1.0, -1.0),
+                             actual_a / expected_a)
+
+        h_xs, h_us, h_costs = f_sel(
+            t0, s.xs, s.us, ks, Ks, jnp.full(s.xs.shape[-2:], alphas[0]))
+        sum0 = flat(jnp.sum(h_costs, axis=0))                      # [B]
+        actual0 = cost_old - sum0
+        ratio0 = ratio_of(actual0, expected[0])
+        accept0 = ratio0 > config.cost_update_ratio_thre           # [B]
+        need_tail = jnp.any(do_forward & ~accept0)
+
+        def with_tail(_):
+            # full sweep over the remaining alphas; row 0 is the head sum
+            rest = flat(f_costs(t0, s.xs, s.us, ks, Ks,
+                                alphas_override=config.alpha_list[1:]))
+            cand_sums = jnp.concatenate([sum0[None], rest], axis=0)
+            actual = cost_old[None, :] - cand_sums                 # [A, B]
+            ratio = ratio_of(actual, expected)
+            accept_mask = ratio > config.cost_update_ratio_thre
+            fw_success = jnp.any(accept_mask, axis=0)              # [B]
+            first_idx = jnp.argmax(accept_mask, axis=0)
+            idx = jnp.where(fw_success, first_idx, A - 1).astype(jnp.int32)
+            sel_xs, sel_us, sel_costs = f_sel(
+                t0, s.xs, s.us, ks, Ks, lanes(alphas[idx]))
+            sel = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
+            return (sel_xs, sel_us, sel_costs, idx, fw_success,
+                    sel(actual).astype(wdtype), sel(expected),
+                    sel(ratio).astype(wdtype))
+
+        def head_only(_):
+            idx = jnp.zeros((B,), jnp.int32)
+            return (h_xs, h_us, h_costs, idx, accept0,
+                    actual0.astype(wdtype), expected[0],
+                    ratio0.astype(wdtype))
+
+        if A > 1:
+            (sel_xs, sel_us, sel_costs, idx, fw_success, actual_sel,
+             expected_sel, ratio_sel) = lax.cond(
+                 need_tail, with_tail, head_only, operand=None)
+        else:
+            (sel_xs, sel_us, sel_costs, idx, fw_success, actual_sel,
+             expected_sel, ratio_sel) = head_only(None)
+
         accept = do_forward & fw_success
         acc_sl = lanes(accept)                                     # [S, L]
 
-        sel_xs, sel_us, sel_costs = f_sel(
-            t0, s.xs, s.us, ks, Ks, lanes(alphas[idx]))
         xs = jnp.where(acc_sl, sel_xs, s.xs)
         us = jnp.where(acc_sl, sel_us, s.us)
         costs = jnp.where(acc_sl, sel_costs, s.costs)
-
-        sel = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
-        actual_sel = sel(actual)
-        expected_sel = sel(expected)
-        ratio_sel = sel(ratio)
 
         term_cost = accept & (actual_sel < config.cost_update_thre)
         status = jnp.where(term_cost, jnp.int32(DDPStatus.SUCCEEDED), status)

@@ -16,7 +16,21 @@ The conditioning-floor claim was verified directly (BENCH_RESULTS.md
 inside the otherwise-fp32 pipeline does not improve u-parity (4.4e-4 —
 so compensated/Kahan carries, which are strictly weaker, cannot either),
 while stiffening Quu by 100x tightens it to 1.2e-4 —
-``test_stiff_quu_tightens_parity`` pins that scaling law."""
+``test_stiff_quu_tightens_parity`` pins that scaling law.
+
+Round 4 closed the complementary experiment (VERDICT r3 item #5a):
+extending the fp64 islands to the FORWARD path too (x-carry, line-search
+u formation and costs at fp64 in all three rollouts, fp32 backward
+kernel) measured 4.4e-4 — WORSE than derivative-islands-only (1.97e-4),
+not better.  The placement of the solution inside the flat optimality
+valley is chaotic in the fp32 backward-gain noise (~3e-6 relative on
+gains -> ~1.5e-4 u placement via Quu~0.02), so no partial-fp64
+configuration can track the fp64 golden below that; only a full-fp64
+solve (1e-8, test_fp32_parity_and_termination's golden) does.  The
+calibrated fp32 bound is therefore pinned at 2e-4 with
+deriv_dtype="float64" (test_deriv_dtype_float64_tightens_parity) and
+5e-4 all-fp32 — BASELINE.md's 1e-4 row is met at fp64, bounded by
+conditioning at fp32."""
 
 import numpy as np
 import jax

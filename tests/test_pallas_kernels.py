@@ -286,6 +286,33 @@ def test_pallas_fmpc_backward_packed_matches_unpacked(interpret_pallas,
     assert bool(jnp.all(o_packed[5] == o2[5]))
 
 
+def test_pallas_fmpc_backward_resident_matches_streaming(interpret_pallas,
+                                                         monkeypatch):
+    """Whole-horizon-resident small-shape kernel (round 4 experiment,
+    opt-in via NMPC_FMPC_PALLAS=resident; measured speed-neutral in-graph
+    on chip — see backward_fmpc_pallas) vs the default streaming kernel —
+    the stage math is shared (_fmpc_stage), so this pins the resident
+    block layout and the env dispatch."""
+    from nmpc_tpu.kernels.fmpc_backward_pallas import _pick_sub_resident
+
+    assert _pick_sub_resident(2, 1, 3, 10, 1) is not None  # fits => opt-in
+    monkeypatch.setenv("NMPC_FMPC_PALLAS", "resident")
+    o1, o_res = _fmpc_backward_case(False)
+    monkeypatch.setenv("NMPC_FMPC_PALLAS", "stream")
+    o1b, o_str = _fmpc_backward_case(False)
+    names = ["ks", "Ks", "svecs", "Ps"]
+    for name, a, b, c_ in zip(names, o1[:4], o_res[:4], o_str[:4]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5, err_msg=name)
+        # resident and streaming share _fmpc_stage, but are separately
+        # compiled programs (XLA may contract/reassociate differently):
+        # agreement is fp-noise-level, not bit-exact
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c_),
+                                   atol=1e-5, err_msg=name)
+    assert bool(jnp.all(o1[4] == o_res[4]))
+    assert bool(jnp.all(o1[5] == o_res[5]))
+
+
 def _fmpc_solve_both(max_iter, x0_scale, seed=2, B=128, N=20):
     from nmpc_tpu.core.types import FmpcConfig, fmpc_variable_reset
     from nmpc_tpu.models.oscillator import make_oscillator_problem
