@@ -100,6 +100,24 @@ class DDPConfig:
     # needing certified ~1e-4 u-parity at less than full-fp64 cost.
     # Requires jax_enable_x64 when set to "float64".
     deriv_dtype: str = "same"
+    # Forward line-search evaluation strategy for the batched solve path
+    # (identical accept decisions in all modes — the reference's serial
+    # first-accept loop, DDPSolver.hpp:242-265):
+    # "head"  = materialize the alpha[0] rollout first and sweep the
+    #           remaining alphas only (lax.cond) when some running lane
+    #           rejects it — 1 forward scan/iteration when full steps
+    #           accept (643k -> 1,066k solves/s at the headline config;
+    #           the all-alphas sweep was 0.351 ms of the 0.675 ms
+    #           iteration), 3 when someone backtracks;
+    # "sweep" = cost-only sweep of ALL alphas every iteration (always 2
+    #           scans) — best when some lane backtracks nearly every
+    #           iteration (bipedal N=300: 134k vs 90k solves/s; warm-
+    #           started 256-controller closed loop: 1.15 vs 3.55 ms p99);
+    # "auto"  = adaptive (default): per-iteration lax.cond driven by a
+    #           one-step predictor — try the head path iff the previous
+    #           iteration had every running lane accept alpha[0].  Each
+    #           workload settles on its optimal path after one iteration.
+    ls_mode: str = "auto"
     # Max backward-pass lambda-retry attempts per iteration. The reference
     # retries unboundedly until lambda > lambda_max (DDPSolver.hpp:191-209);
     # from lambda_min to lambda_max with factor 1.6 that is at most
@@ -120,6 +138,10 @@ class DDPConfig:
             raise ValueError(
                 f"DDPConfig.deriv_dtype must be one of 'same', 'float32', "
                 f"'float64'; got {self.deriv_dtype!r}")
+        if self.ls_mode not in ("auto", "head", "sweep"):
+            raise ValueError(
+                f"DDPConfig.ls_mode must be one of 'auto', 'head', "
+                f"'sweep'; got {self.ls_mode!r}")
 
     def for_fp32(self, cost_scale: float = 1e3) -> "DDPConfig":
         """fp32-calibrated termination thresholds (SURVEY §7 "fp precision").

@@ -28,6 +28,22 @@ class ClosedLoopLog(NamedTuple):
     status: jnp.ndarray    # [S] solver status
 
 
+def _tick_solver(solver):
+    """Resolve the solver used inside the tick loop: warm-started MPC ticks
+    are 1-3 iteration, latency-bound solves where the adaptive line
+    search's lax.cond machinery is pure overhead (measured 2.8 ms vs
+    1.15 ms p99 tick at 256 controllers) — so a DDP solver left on
+    ls_mode="auto" is rebuilt with the always-2-scan "sweep" path.  An
+    explicit ls_mode ("head"/"sweep") is respected."""
+    config = getattr(solver, "config", None)
+    if getattr(config, "ls_mode", None) == "auto":
+        import dataclasses
+
+        return type(solver)(solver.problem,
+                            dataclasses.replace(config, ls_mode="sweep"))
+    return solver
+
+
 def make_closed_loop(solver, n_steps: int, sim_dynamics: Optional[Callable] = None,
                      mpc_interval: int = 1):
     """Build a jitted closed-loop simulator ``sim(t0, x0, us0) -> ClosedLoopLog``.
@@ -36,6 +52,7 @@ def make_closed_loop(solver, n_steps: int, sim_dynamics: Optional[Callable] = No
     dt per MPC step).  Batched via vmap over (x0, us0) automatically when
     inputs carry a leading batch axis (use :func:`make_closed_loop_batch`).
     """
+    solver = _tick_solver(solver)
     problem: Problem = solver.problem
     dt = problem.dt
     if sim_dynamics is None:
@@ -75,6 +92,7 @@ def make_closed_loop_batch(solver, n_steps: int,
     Uses the solver's natively-batched (stacked-kernel) solve path — a vmap
     of the single-instance loop would silently fall back to the slow
     batch-major layout (2.5x the tick latency at B=256)."""
+    solver = _tick_solver(solver)
     problem: Problem = solver.problem
     dt = problem.dt
     if sim_dynamics is None:

@@ -784,6 +784,7 @@ class _StackedState(NamedTuple):
     Ks: jnp.ndarray       # [N, nu, nx, S, L]
     lam: jnp.ndarray      # [B]
     dlam: jnp.ndarray     # [B]
+    try_head: jnp.ndarray  # scalar bool: adaptive line-search predictor
     trace: DDPTrace       # arrays [B, max_iter+1]
 
 
@@ -848,6 +849,14 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
         ks=zeros((N, nu, S, L)), Ks=zeros((N, nu, nx, S, L)),
         lam=jnp.full((B,), config.initial_lambda, dtype),
         dlam=jnp.full((B,), config.initial_dlambda, dtype),
+        # optimistic init: iteration 1 tries the 1-scan head path.  Wins
+        # for one-shot batch solving (headline 1.074M vs 0.985M with a
+        # pessimistic init); for warm-started latency-bound tick loops the
+        # adaptive cond machinery itself is the cost (measured ~2.8 ms p99
+        # with EITHER init vs 1.15 ms pure sweep at 256 controllers), so
+        # mpc/closed_loop defaults those to ls_mode="sweep" instead of
+        # tuning this flag.
+        try_head=jnp.bool_(True),
         trace=trace,
     )
 
@@ -893,17 +902,30 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                      & (lam < config.lambda_thre))
         status = jnp.where(term_grad, jnp.int32(DDPStatus.SUCCEEDED), status)
 
-        # Step 3 (round 4 redesign): head-first forward line search.  The
-        # reference tries alphas SERIALLY with an early exit
-        # (DDPSolver.hpp:242-265); in practice alpha_list[0]=1 accepts on
-        # almost every iteration once lambda settles, yet the r1-r3 design
-        # paid the full 11-alpha cost-only sweep (measured 0.351 ms of the
-        # 0.675 ms iteration at the headline config — the top line of the
-        # whole solve, tools/profile_solve_phases.py) PLUS a re-rollout
-        # every iteration.  Now: materialize the alpha[0] rollout once
-        # (doubling as the accepted trajectory), and run the full sweep +
-        # per-lane re-rollout only under lax.cond when some running lane
-        # rejects alpha[0].
+        # Step 3 (round 4 redesign): ADAPTIVE forward line search (same
+        # accept decisions in every mode — the reference's serial
+        # first-accept loop, DDPSolver.hpp:242-265).  Two execution paths:
+        #
+        #  head path:  materialize the alpha[0] rollout once (doubling as
+        #              the accepted trajectory); sweep the remaining alphas
+        #              + re-roll per-lane only (lax.cond) when some running
+        #              lane rejects alpha[0].  1 scan when everyone accepts
+        #              (the r1-r3 design paid 2 every iteration — the
+        #              all-alphas sweep alone was 0.351 ms of the 0.675 ms
+        #              headline iteration, tools/profile_solve_phases.py),
+        #              3 when someone backtracks.
+        #  sweep path: the r1-r3 design — cost-only sweep of ALL alphas in
+        #              one scan + one re-rollout: always 2 scans.
+        #
+        # ls_mode="auto" picks PER ITERATION with a one-step predictor:
+        # try the head path iff the previous iteration had every running
+        # lane accept alpha[0].  Workloads that take full steps (large-
+        # batch offline solving: measured 643k -> 1,066k solves/s at the
+        # headline config) stay on the head path; workloads where some
+        # lane backtracks nearly every iteration (bipedal N=300: 134k
+        # sweep vs 90k head; warm-started 256-controller closed loop:
+        # 1.15 ms vs 3.55 ms p99 tick) settle on the sweep path after one
+        # iteration.  "head"/"sweep" force a path statically.
         cost_old = flat(jnp.sum(s.costs, axis=0))                  # [B]
         expected = -alphas[:, None] * (dV[0][None, :]
                                        + alphas[:, None] * dV[1][None, :])
@@ -917,45 +939,64 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                              jnp.where(actual_a >= 0, 1.0, -1.0),
                              actual_a / expected_a)
 
-        h_xs, h_us, h_costs = f_sel(
-            t0, s.xs, s.us, ks, Ks, jnp.full(s.xs.shape[-2:], alphas[0]))
-        sum0 = flat(jnp.sum(h_costs, axis=0))                      # [B]
-        actual0 = cost_old - sum0
-        ratio0 = ratio_of(actual0, expected[0])
-        accept0 = ratio0 > config.cost_update_ratio_thre           # [B]
-        need_tail = jnp.any(do_forward & ~accept0)
-
-        def with_tail(_):
-            # full sweep over the remaining alphas; row 0 is the head sum
-            rest = flat(f_costs(t0, s.xs, s.us, ks, Ks,
-                                alphas_override=config.alpha_list[1:]))
-            cand_sums = jnp.concatenate([sum0[None], rest], axis=0)
+        def pick_alpha(cand_sums):
+            """First-accept alpha selection from per-alpha cost sums
+            [A, B] (identical decision to the reference's serial loop)."""
             actual = cost_old[None, :] - cand_sums                 # [A, B]
             ratio = ratio_of(actual, expected)
             accept_mask = ratio > config.cost_update_ratio_thre
             fw_success = jnp.any(accept_mask, axis=0)              # [B]
             first_idx = jnp.argmax(accept_mask, axis=0)
             idx = jnp.where(fw_success, first_idx, A - 1).astype(jnp.int32)
-            sel_xs, sel_us, sel_costs = f_sel(
-                t0, s.xs, s.us, ks, Ks, lanes(alphas[idx]))
             sel = lambda a: jnp.take_along_axis(a, idx[None, :], axis=0)[0]
-            return (sel_xs, sel_us, sel_costs, idx, fw_success,
-                    sel(actual).astype(wdtype), sel(expected),
-                    sel(ratio).astype(wdtype))
+            all_a0 = ~jnp.any(do_forward & ~accept_mask[0])
+            return (idx, fw_success, sel(actual).astype(wdtype),
+                    sel(expected), sel(ratio).astype(wdtype), all_a0)
 
-        def head_only(_):
-            idx = jnp.zeros((B,), jnp.int32)
-            return (h_xs, h_us, h_costs, idx, accept0,
-                    actual0.astype(wdtype), expected[0],
-                    ratio0.astype(wdtype))
+        def head_path(_):
+            h_xs, h_us, h_costs = f_sel(
+                t0, s.xs, s.us, ks, Ks, jnp.full(s.xs.shape[-2:], alphas[0]))
+            sum0 = flat(jnp.sum(h_costs, axis=0))                  # [B]
+            actual0 = (cost_old - sum0).astype(wdtype)
+            ratio0 = ratio_of(actual0, expected[0].astype(wdtype))
+            accept0 = ratio0 > config.cost_update_ratio_thre       # [B]
+            all_a0 = ~jnp.any(do_forward & ~accept0)
 
-        if A > 1:
-            (sel_xs, sel_us, sel_costs, idx, fw_success, actual_sel,
-             expected_sel, ratio_sel) = lax.cond(
-                 need_tail, with_tail, head_only, operand=None)
-        else:
-            (sel_xs, sel_us, sel_costs, idx, fw_success, actual_sel,
-             expected_sel, ratio_sel) = head_only(None)
+            def with_tail(_):
+                rest = flat(f_costs(t0, s.xs, s.us, ks, Ks,
+                                    alphas_override=config.alpha_list[1:]))
+                cand_sums = jnp.concatenate(
+                    [sum0[None].astype(rest.dtype), rest], axis=0)
+                out = pick_alpha(cand_sums)
+                sel_xs, sel_us, sel_costs = f_sel(
+                    t0, s.xs, s.us, ks, Ks, lanes(alphas[out[0]]))
+                return (sel_xs, sel_us, sel_costs) + out
+
+            def head_only(_):
+                idx = jnp.zeros((B,), jnp.int32)
+                return (h_xs, h_us, h_costs, idx, accept0, actual0,
+                        expected[0], ratio0.astype(wdtype), all_a0)
+
+            return lax.cond(~all_a0, with_tail, head_only, operand=None)
+
+        def sweep_path(_):
+            cand_sums = flat(f_costs(t0, s.xs, s.us, ks, Ks))      # [A, B]
+            out = pick_alpha(cand_sums)
+            sel_xs, sel_us, sel_costs = f_sel(
+                t0, s.xs, s.us, ks, Ks, lanes(alphas[out[0]]))
+            return (sel_xs, sel_us, sel_costs) + out
+
+        if A <= 1:
+            ls_out = head_path(None)
+        elif config.ls_mode == "head":
+            ls_out = head_path(None)
+        elif config.ls_mode == "sweep":
+            ls_out = sweep_path(None)
+        else:  # adaptive: one-step predictor carried across iterations
+            ls_out = lax.cond(s.try_head, head_path, sweep_path,
+                              operand=None)
+        (sel_xs, sel_us, sel_costs, idx, fw_success, actual_sel,
+         expected_sel, ratio_sel, all_accept0) = ls_out
 
         accept = do_forward & fw_success
         acc_sl = lanes(accept)                                     # [S, L]
@@ -1018,6 +1059,7 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
             xs=fz(xs, s.xs), us=fz(us, s.us), costs=fz(costs, s.costs),
             ks=fz(ks, s.ks), Ks=fz(Ks, s.Ks),
             lam=fzb(lam, s.lam), dlam=fzb(dlam, s.dlam),
+            try_head=all_accept0,
             trace=jax.tree_util.tree_map(
                 lambda n_, o_: jnp.where(running[:, None], n_, o_), tr, s.trace),
         )
