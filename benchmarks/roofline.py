@@ -81,7 +81,10 @@ def fmpc_kernel_model(nx, nu, ng, N, B):
 def chained_time(fn, probe, *args, R=30):
     """Per-call seconds of fn chained R times inside one jit (defeats the
     per-dispatch tunnel overhead; CSE defeated via a fp-negligible
-    data-dependent perturbation of the first arg)."""
+    data-dependent perturbation of the LAST arg — which every caller makes
+    a small [B] vector, so the perturbation itself adds no measurable
+    bandwidth; perturbing a large input would re-materialize it every
+    trip and overcount the kernel by its own byte volume)."""
     from jax import lax
 
     from benchmarks.timing import device_time_min
@@ -90,8 +93,7 @@ def chained_time(fn, probe, *args, R=30):
 
     def run(*a):
         def body(i, acc):
-            out = fn(jax.tree_util.tree_map(lambda x: x + acc * tiny, a[0]),
-                     *a[1:])
+            out = fn(*a[:-1], a[-1] + acc * tiny)
             return acc + probe(out)
         return lax.fori_loop(0, R, body, jnp.float32(0.0))
 
@@ -155,7 +157,7 @@ def main():
         row = audit(
             f"ddp_backward_pallas[cartpole B=4096 N=100 {tag}]", b, f, t)
         t_ch = chained_time(
-            lambda D_, *a, p=packed: backward_pallas(cfg, D_, *a, packed=p),
+            lambda *a, p=packed: backward_pallas(cfg, *a, packed=p),
             lambda o: o[0][0, 0, 0], D, VxT, VxxT, lam)
         row["measured_chained_us"] = round(t_ch * 1e6, 1)
         row["pct_of_mem_roofline_chained"] = round(
@@ -199,6 +201,7 @@ def main():
             lambda co_, ss, nus, eps, p=p, c=c, gms=gms:
             backward_fmpc_pallas(p, c, co_, ss, nus, gms, eps),
             lambda o: o[0][0, 0, 0], co, var.ss, var.nus, eps0)
+        # eps is the perturbed (last) arg — a [B] vector, bandwidth-free
         row["measured_chained_us"] = round(t_ch * 1e6, 1)
         row["pct_of_mem_roofline_chained"] = round(
             bytes_total_pct(b, t_ch), 1)

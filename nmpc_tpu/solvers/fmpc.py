@@ -1007,7 +1007,13 @@ def _solve_batched(problem: Problem, config: FmpcConfig, t0, x0s,
         # tests/test_pallas_kernels.py::test_pallas_fmpc_solve_batch_*).
         from nmpc_tpu.kernels.fmpc_backward_pallas import (
             fmpc_pallas_fits_vmem)
+        # N >= 50: at short horizons the stacked XLA scan wins end-to-end
+        # (oscillator N=20 B=4096 measured 4.61M solves/s stacked vs 3.96M
+        # pallas — the per-call launch/DMA setup doesn't amortize over 20
+        # stages), while at N=100 the fused kernel wins 1.44x
+        # (benchmarks/bench_fmpc_backward.py, 2026-08-21)
         eligible = (B % 128 == 0 and dtype == jnp.float32 and ng >= 1
+                    and N >= 50
                     and jax.default_backend() == "tpu"
                     and fmpc_pallas_fits_vmem(nx, nu_dim, ng, N, B))
         impl = "pallas" if eligible else "stacked"

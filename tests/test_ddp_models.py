@@ -117,3 +117,36 @@ def test_boxed_batch_vertical_masked():
         np.testing.assert_allclose(np.asarray(batch.us[i]),
                                    np.asarray(single.us), atol=1e-9)
         assert int(batch.status[i]) == int(single.status)
+
+
+def test_ls_modes_identical_results():
+    """The three line-search modes (adaptive "auto", static "head",
+    static "sweep") make IDENTICAL accept decisions — only the evaluation
+    schedule differs (round 4; reference serial loop
+    DDPSolver.hpp:242-265).  Cart-pole from the hanging pose backtracks
+    in early iterations and takes full steps later, so both paths and the
+    adaptive switch are exercised."""
+    import dataclasses
+
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+
+    problem = make_cartpole_problem(0.01)
+    base = DDPConfig(horizon_steps=40, max_iter=12)
+    B = 4
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                      + 0.1 * rng.normal(size=(B, 4)))
+    us0 = jnp.zeros((B, 40, 1))
+    results = {}
+    for mode in ("auto", "head", "sweep"):
+        solver = DDPSolver(problem, dataclasses.replace(base, ls_mode=mode))
+        results[mode] = solver.solve_batch(0.0, x0s, us0)
+    for mode in ("head", "sweep"):
+        r, r0 = results[mode], results["auto"]
+        assert np.array_equal(np.asarray(r.status), np.asarray(r0.status))
+        assert np.array_equal(np.asarray(r.iters), np.asarray(r0.iters))
+        np.testing.assert_allclose(np.asarray(r.us), np.asarray(r0.us),
+                                   atol=1e-12, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(r.trace.alpha),
+                                   np.asarray(r0.trace.alpha),
+                                   atol=1e-12, err_msg=mode)
