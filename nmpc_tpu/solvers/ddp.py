@@ -702,14 +702,22 @@ def _backward_retry_stacked(config, Dst, VxT_s, VxxT_s, lam, dlam, ks0_s, Ks0_s,
     """
     impl = config.backward_impl
     if impl == "auto":
-        # Pallas wins on hardware (3.3x kernel-level, benchmarks/
-        # bench_backward.py) but requires full 128-lane tiles, fp32, a real
-        # TPU, and no second-order terms; everything else takes the stacked
-        # XLA kernel.
+        # Pallas wins on hardware (3.3x kernel-level unconstrained, 17.6x
+        # boxed; benchmarks/bench_backward.py, profile_boxed_ddp.py) but
+        # requires full 128-lane tiles, fp32, a real TPU, and no
+        # second-order terms; everything else takes the stacked XLA kernel.
         eligible = (lam.shape[0] % 128 == 0
                     and lam.dtype == jnp.float32
                     and D2 is None
                     and jax.default_backend() == "tpu")
+        if bounds is not None:
+            # the fused boxed kernel fully unrolls the nu x nu in-kernel
+            # BoxQP (Cholesky + ls_block Armijo candidates per unrolled QP
+            # iteration): compile size and VMEM grow ~nu^3, validated for
+            # the small-input MPC shapes (nu <= 4).  Wide-input boxed
+            # problems (centroidal nu=16 with friction-pyramid ridges)
+            # take the stacked kernel, whose while-loop BoxQP scales.
+            eligible = eligible and Dst.Fu.shape[2] <= 4
         impl = "pallas" if eligible else "stacked"
     if bounds is not None:
         if impl == "pallas" and D2 is None:
