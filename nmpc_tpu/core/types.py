@@ -84,11 +84,18 @@ class DDPConfig:
     # "stacked" = batch-minor XLA kernel (kernels/ddp_backward.py);
     # "pallas"  = fused Pallas TPU kernel with double-buffered stage DMA
     #             (kernels/ddp_backward_pallas.py; requires B % 128 == 0);
-    # "auto"    = "pallas" when eligible (TPU default backend, fp32,
-    #             B % 128 == 0), else "stacked".  Measured on a v5e chip at
-    #             the headline config (B=4096, N=100 cart-pole): pallas is
-    #             3.3x faster kernel-level and takes the end-to-end solve
-    #             from 446k to 639k solves/s (benchmarks/bench_backward.py).
+    # "remat"   = whole-iteration fused Pallas kernel: the derivative
+    #             sweep is ELIMINATED — stage derivatives are recomputed
+    #             from (x_i, u_i) inside the backward kernel
+    #             (kernels/ddp_backward_remat.py; requires B % 128 == 0,
+    #             fp32, deriv_dtype "same", first-order, and
+    #             Mosaic-traceable problem callbacks);
+    # "auto"    = "remat" when eligible, else "pallas" when eligible,
+    #             else "stacked".  Measured on a v5e chip at the headline
+    #             config (B=4096, N=100 cart-pole): pallas lifted the
+    #             solve 446k -> 639k solves/s (benchmarks/bench_backward.py);
+    #             remat removes the ~75 MB/iter derivative buffer on top
+    #             (BENCH_RESULTS.md round 5).
     backward_impl: str = "auto"
     # Mixed precision: dtype for the dynamics/cost derivative sweeps
     # (incl. terminal expansion), with everything downstream (backward,
@@ -130,10 +137,10 @@ class DDPConfig:
     def __post_init__(self):
         if self.boxqp is None:
             object.__setattr__(self, "boxqp", BoxQPConfig())
-        if self.backward_impl not in ("auto", "stacked", "pallas"):
+        if self.backward_impl not in ("auto", "stacked", "pallas", "remat"):
             raise ValueError(
                 f"DDPConfig.backward_impl must be one of 'auto', 'stacked', "
-                f"'pallas'; got {self.backward_impl!r}")
+                f"'pallas', 'remat'; got {self.backward_impl!r}")
         if self.deriv_dtype not in ("same", "float32", "float64"):
             raise ValueError(
                 f"DDPConfig.deriv_dtype must be one of 'same', 'float32', "

@@ -233,7 +233,11 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
         onehot = (jnp.arange(K1)[:, None] == k_star[None, :]).astype(dtype)
         x_cand = jnp.sum(xc * onehot[:, None, :], axis=0)
         obj_cand = jnp.sum(objc * onehot, axis=0)
-        ls_exhausted = jnp.sum((below & ~accept) * onehot, axis=0) > 0.5
+        # a below-min_step stop is exhaustion REGARDLESS of its Armijo
+        # result: the reference breaks with retval 2 at step < min_step
+        # without consulting Armijo (BoxQP.h:304-308), and boxqp_solve's
+        # hit_min flag matches — so must this kernel (ADVICE r4 #2)
+        ls_exhausted = jnp.sum(below * onehot, axis=0) > 0.5
         if K1 == n_ls:
             # head covered the whole schedule: no-stop lanes exhausted it
             ls_exhausted = ls_exhausted | ~any_stop
@@ -262,7 +266,9 @@ def boxqp_stacked(H, g, lower, upper, x0, config):
                 xt = jnp.where(upd[None], xc1, xt)
                 objt = jnp.where(upd, obj1, objt)
                 stop1 = (acc1 | bel1) & ~done
-                exh = exh | (stop1 & bel1 & ~acc1)
+                # below-min_step stop = exhaustion regardless of Armijo
+                # (BoxQP.h:304-308; ADVICE r4 #2)
+                exh = exh | (stop1 & bel1)
                 return (step, xt, objt, exh, k + 1, done | stop1)
 
             s0 = (jnp.full((B,), steps_h[-1], dtype), x_cand, obj_cand,

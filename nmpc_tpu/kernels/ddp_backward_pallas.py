@@ -307,7 +307,10 @@ def _boxqp_t(H, gq, lo, hi, x0, nu, bq, zeros):
             xa = [sel(take, xc[i], xa[i]) for i in range(nu)]
             obja = sel(take, objc, obja)
             if below:
-                exh = jnp.maximum(exh, take * (1.0 - acc))
+                # below-min_step stop = exhaustion regardless of Armijo
+                # (BoxQP.h:304-308; matches boxqp_stacked / boxqp_solve —
+                # ADVICE r4 #2)
+                exh = jnp.maximum(exh, take)
             found = jnp.maximum(found, stop)
             xl, objl = xc, objc
             if below:
@@ -348,7 +351,9 @@ def _boxqp_t(H, gq, lo, hi, x0, nu, bq, zeros):
                 xt = [sel(upd, xc[i], xt[i]) for i in range(nu)]
                 obja_t = sel(upd, objc, obja_t)
                 stopf = jnp.maximum(acc, belf) * upd
-                exh_t = jnp.maximum(exh_t, stopf * belf * (1.0 - acc))
+                # below-min_step stop = exhaustion regardless of Armijo
+                # (BoxQP.h:304-308; ADVICE r4 #2)
+                exh_t = jnp.maximum(exh_t, stopf * belf)
                 done = jnp.maximum(done, stopf)
                 return (k + 1, step, done, exh_t, obja_t, *xt)
 

@@ -50,6 +50,95 @@ def test_pallas_backward_matches_stacked(interpret_pallas):
     assert bool(jnp.all(o1[3] == o2[3]))
 
 
+def test_remat_backward_matches_stacked(interpret_pallas):
+    """Whole-iteration fused backward with in-kernel derivative
+    rematerialization (kernels/ddp_backward_remat.py) vs the sweep +
+    stacked backward: the remat kernel re-traces ``_stage_derivs`` on
+    (SUB, 128) tile values from (x_i, u_i), so its derivatives are the
+    same autodiff expressions evaluated on the same inputs — agreement is
+    fp-reassociation-level (VERDICT r4 item #1)."""
+    from nmpc_tpu.core.types import DDPConfig
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+    from nmpc_tpu.solvers import ddp as D
+    from nmpc_tpu.kernels.ddp_backward import backward_stacked, stack_derivs
+    from nmpc_tpu.kernels.ddp_backward_remat import backward_remat
+
+    p = make_cartpole_problem(0.01)
+    c = DDPConfig(horizon_steps=12, max_iter=10)
+    B = 256
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 4))).astype(np.float32))
+    us = jnp.asarray(rng.normal(size=(B, 12, 1)).astype(np.float32) * 0.2)
+    t0 = jnp.float32(0.3)   # nonzero so the in-kernel t_i recompute bites
+    xs, _ = D._rollout_stacked(p, c, t0, x0s, us)
+    Ds, VxT, VxxT = jax.vmap(
+        functools.partial(D._derivative_sweep, p, c),
+        in_axes=(None, 0, 0))(t0, xs, us)
+    S = stack_derivs(Ds.Fx, Ds.Fu, Ds.Lx, Ds.Lu, Ds.Lxx, Ds.Luu, Ds.Lxu)
+    VxTs = jnp.moveaxis(VxT, 0, -1)
+    VxxTs = jnp.moveaxis(VxxT, 0, -1)
+    lam = jnp.full((B,), 1e-4, jnp.float32)
+
+    o1 = backward_stacked(c, S, VxTs, VxxTs, lam)
+    o2 = backward_remat(p, c, t0, jnp.moveaxis(xs, 0, -1),
+                        jnp.moveaxis(us, 0, -1), VxTs, VxxTs, lam)
+    np.testing.assert_allclose(np.asarray(o2[0]), np.asarray(o1[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o2[1]), np.asarray(o1[1]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o2[2]), np.asarray(o1[2]),
+                               atol=2e-4)
+    assert bool(jnp.all(o1[3] == o2[3]))
+
+
+def test_remat_backward_boxed_matches_stacked(interpret_pallas):
+    """Boxed remat: bounds + BoxQP inputs rematerialized in-kernel from
+    ``problem.input_limits`` / the streamed u_i, vs the sweep + stacked
+    boxed backward (time-varying input dims exercised via the vertical
+    model's mask)."""
+    from nmpc_tpu.core.types import DDPConfig
+    from nmpc_tpu.models.vertical import make_vertical_problem
+    from nmpc_tpu.solvers import ddp as D
+    from nmpc_tpu.kernels.ddp_backward import (StackedBounds, StackedDerivs,
+                                               backward_stacked_boxed)
+    from nmpc_tpu.kernels.ddp_backward_remat import backward_remat
+    from nmpc_tpu.kernels.lanes import block_lanes, lane_factors
+
+    p = make_vertical_problem(0.01)
+    c = DDPConfig(horizon_steps=12, max_iter=3, initial_lambda=1e-6,
+                  with_input_constraint=True)
+    B = 128
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray((np.tile([1.2, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 2))).astype(np.float32))
+    us0 = jnp.asarray(0.02 * rng.normal(size=(B, 12, 2)).astype(np.float32))
+    t0 = jnp.float32(0.0)
+    S_, L_ = lane_factors(B)
+    xs_l, _ = D._rollout_lanes(p, c, t0, block_lanes(x0s, 0, S_, L_),
+                               block_lanes(us0, 0, S_, L_))
+    us_l = block_lanes(us0, 0, S_, L_)
+    Dv, VxT, VxxT = D._derivative_sweep_lanes(p, c, t0, xs_l, us_l)
+    flat = lambda a: a.reshape(a.shape[:-2] + (B,))
+    Dst = StackedDerivs(Fx=flat(Dv.Fx), Fu=flat(Dv.Fu), Lx=flat(Dv.Lx),
+                        Lu=flat(Dv.Lu), Lxx=flat(Dv.Lxx), Luu=flat(Dv.Luu),
+                        Lxu=flat(Dv.Lxu))
+    bounds = StackedBounds(lower=flat(Dv.lower), upper=flat(Dv.upper),
+                           u=flat(Dv.u))
+    lam = jnp.full((B,), 1e-6, jnp.float32)
+
+    o1 = backward_stacked_boxed(c, Dst, bounds, flat(VxT), flat(VxxT), lam)
+    o2 = backward_remat(p, c, t0, flat(xs_l), flat(us_l),
+                        flat(VxT), flat(VxxT), lam, boxed=True)
+    np.testing.assert_allclose(np.asarray(o2[0]), np.asarray(o1[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o2[1]), np.asarray(o1[1]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o2[2]), np.asarray(o1[2]),
+                               atol=2e-4)
+    assert bool(jnp.all(o1[3] == o2[3]))
+
+
 def test_pallas_backward_packed_matches_unpacked(interpret_pallas):
     """Packed-input (1-DMA-per-stage) kernel vs the default unpacked one.
     The packed variant is an opt-in experiment (see backward_pallas's
@@ -207,6 +296,70 @@ def test_pallas_boxed_solve_end_to_end(interpret_pallas):
     assert bool(jnp.all(r_st.status == r_pl.status))
     assert bool(jnp.all(r_st.iters == r_pl.iters))
     np.testing.assert_allclose(np.asarray(r_pl.us), np.asarray(r_st.us),
+                               atol=1e-5)
+
+
+def test_remat_solve_end_to_end(interpret_pallas):
+    """Full solve_batch through backward_impl='remat' (the whole-iteration
+    fused kernel: no derivative sweep at all) vs 'stacked', at a pre-chaos
+    iteration budget (3 iterations — the same pattern as
+    test_pallas_fmpc_solve_batch_pre_chaos_parity): statuses, iteration
+    counts, and trajectories agree tightly.  Longer iterated solves
+    amplify kernel-level fp noise chaotically through near-threshold
+    accept decisions (measured: ~1e-3 u drift and occasional ±1-iter
+    flips by iteration 6 on mid-swing cart-pole lanes — the same
+    documented iterated-fp32 divergence class as pallas-vs-stacked,
+    bounded on chip by benchmarks/parity_gate.py's e2e entries)."""
+    import dataclasses
+    from nmpc_tpu.core.types import DDPConfig
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+    from nmpc_tpu import DDPSolver
+
+    problem = make_cartpole_problem(0.01)
+    N, B = 12, 128
+    base = DDPConfig(horizon_steps=N, max_iter=3)
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.1 * rng.normal(size=(B, 4))).astype(np.float32))
+    us0 = jnp.zeros((B, N, 1), jnp.float32)
+    r_st = DDPSolver(problem, dataclasses.replace(
+        base, backward_impl="stacked")).solve_batch(
+            jnp.float32(0.0), x0s, us0)
+    r_rm = DDPSolver(problem, dataclasses.replace(
+        base, backward_impl="remat")).solve_batch(
+            jnp.float32(0.0), x0s, us0)
+    assert bool(jnp.all(r_st.status == r_rm.status))
+    assert bool(jnp.all(r_st.iters == r_rm.iters))
+    np.testing.assert_allclose(np.asarray(r_rm.us), np.asarray(r_st.us),
+                               atol=1e-5)
+
+
+def test_remat_boxed_solve_end_to_end(interpret_pallas):
+    """Full BOXED solve_batch through backward_impl='remat' (bounds and
+    BoxQP inputs rematerialized in-kernel) vs 'stacked'."""
+    import dataclasses
+    from nmpc_tpu.core.types import BoxQPConfig, DDPConfig
+    from nmpc_tpu.models.vertical import make_vertical_problem
+    from nmpc_tpu import DDPSolver
+
+    problem = make_vertical_problem(0.01)
+    N, B = 20, 128
+    base = DDPConfig(horizon_steps=N, max_iter=3, initial_lambda=1e-6,
+                     with_input_constraint=True,
+                     boxqp=BoxQPConfig(max_ls_iter=16))
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray((np.tile([1.2, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 2))).astype(np.float32))
+    us0 = jnp.zeros((B, N, 2), jnp.float32)
+    r_st = DDPSolver(problem, dataclasses.replace(
+        base, backward_impl="stacked")).solve_batch(
+            jnp.float32(0.0), x0s, us0)
+    r_rm = DDPSolver(problem, dataclasses.replace(
+        base, backward_impl="remat")).solve_batch(
+            jnp.float32(0.0), x0s, us0)
+    assert bool(jnp.all(r_st.status == r_rm.status))
+    assert bool(jnp.all(r_st.iters == r_rm.iters))
+    np.testing.assert_allclose(np.asarray(r_rm.us), np.asarray(r_st.us),
                                atol=1e-5)
 
 

@@ -138,31 +138,34 @@ def trail_stacked(H, g, lo, hi, x0):
         if pre_exit:
             print("  [stacked] pre-exit")
             break
-        # Armijo head+tail over full schedule
+        # Armijo head+tail over full schedule (shipped r4/r5 semantics:
+        # first-accept; a below-min_step stop is exhaustion regardless of
+        # its Armijo result; schedule exhaustion keeps the LAST-visited —
+        # tiniest-step — candidate with status 2)
         step = f32(1.0)
-        accepted = False
+        last_xc = last_objc = None
         for kk in range(bq.max_ls_iter + 1):
             xc = np.clip(x + step * d, lo, hi).astype(f32)
             objc = f32(g @ xc + 0.5 * xc @ H @ xc)
             ratio = (objc - old_obj) / (step * sdg)
             acc = ratio >= f32(bq.armijo_param)
             below = step < f32(bq.min_step)
+            last_xc, last_objc = xc, objc
             print(f"    ls k={kk} step={step:.6g} xc={xc} objc={objc}"
                   f" ratio={ratio:.6f} acc={acc} below={below}")
             if acc or below:
                 x, obj = xc, objc
-                accepted = acc
-                if below and not acc:
-                    status = 2  # MAX_LS_ITER
+                if below:
+                    status = 2  # MAX_LS_ITER (BoxQP.h:304-308)
                 break
             step = f32(step * f32(bq.step_factor))
         else:
-            # schedule exhausted without accept: stacked takes head index 0
-            xc0 = np.clip(x + 1.0 * d, lo, hi).astype(f32)
-            obj0 = f32(g @ xc0 + 0.5 * xc0 @ H @ xc0)
-            x, obj = xc0, obj0
+            # schedule exhausted without a stop: keep the last-visited
+            # (tiniest-step) candidate, status 2 — the shipped kernels'
+            # rule (ADVICE r4 #3)
+            x, obj = last_xc, last_objc
             status = 2
-            print("    ls EXHAUSTED -> stacked takes full-step cand", x)
+            print("    ls EXHAUSTED -> keeps last-visited cand", x)
         if status:
             break
     print(f"  [stacked] final x={x} status={status} it={it}")
@@ -207,23 +210,32 @@ def trail_pallas(H, g, lo, hi, x0):
               f" small_grad={small_grad} bad_dir={bad_dir} d={d} sdg={sdg}")
         if pre_exit:
             break
+        # same shipped semantics as trail_stacked (the fused kernel runs
+        # full stacked BoxQP semantics since r4; exhaustion keeps the
+        # last-visited candidate and terminates the lane)
         found = False
         xa, obja = x.copy(), obj
+        last_xc = last_objc = None
         for sv in steps:
-            if sv < bq.min_step:
-                break
             xc = np.clip(x + f32(sv) * d, lo, hi).astype(f32)
             objc = f32(g @ xc + 0.5 * xc @ H @ xc)
             ratio = (objc - old_obj) / (f32(sv) * sdg)
             acc = ratio >= f32(bq.armijo_param)
-            if acc and not found:
+            below = sv < bq.min_step
+            last_xc, last_objc = xc, objc
+            if (acc or below) and not found:
                 xa, obja = xc, objc
-                print(f"    ls step={sv:.6g} ACCEPT xc={xc} ratio={ratio:.6f}")
-            found = found or acc
-        x, obj = xa, obja
+                found = True
+                if below:
+                    active = False  # exhaustion regardless of Armijo
+                print(f"    ls step={sv:.6g} STOP xc={xc} ratio={ratio:.6f}"
+                      f" acc={acc} below={below}")
+                break
         if not found:
-            print("    ls exhausted -> pallas keeps x", x)
+            xa, obja = last_xc, last_objc
+            print("    ls exhausted -> pallas keeps last-visited cand", xa)
             active = False
+        x, obj = xa, obja
     print(f"  [pallas ] final x={x}")
     return x
 
