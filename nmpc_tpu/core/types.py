@@ -120,11 +120,21 @@ class DDPConfig:
     #           scans) — best when some lane backtracks nearly every
     #           iteration (bipedal N=300: 134k vs 90k solves/s; warm-
     #           started 256-controller closed loop: 1.15 vs 3.55 ms p99);
-    # "auto"  = adaptive (default): per-iteration lax.cond driven by a
-    #           one-step predictor — try the head path iff the previous
-    #           iteration had every running lane accept alpha[0].  Each
-    #           workload settles on its optimal path after one iteration.
+    # "auto"  = adaptive (default): per-iteration lax.cond driven by an
+    #           accept-history predictor — try the head path iff the last
+    #           ``ls_auto_hysteresis`` consecutive iterations had every
+    #           running lane accept alpha[0].  Full-step workloads settle
+    #           on head immediately (optimistic init); backtracking
+    #           workloads stop paying failed head attempts after one
+    #           reject and need a sustained accept run to switch back.
     ls_mode: str = "auto"
+    # Consecutive all-lanes-accept-alpha[0] iterations required before the
+    # "auto" predictor tries the head path again after a reject.  1 =
+    # round-4's one-step predictor.  2 (default) measured on chip
+    # (2026-08-21): bipedal N=300 within ~2% of static sweep (r4 gap: 8%)
+    # with the headline unchanged — isolated full-step iterations inside a
+    # backtracking phase no longer trigger 3-scan head attempts.
+    ls_auto_hysteresis: int = 2
     # Max backward-pass lambda-retry attempts per iteration. The reference
     # retries unboundedly until lambda > lambda_max (DDPSolver.hpp:191-209);
     # from lambda_min to lambda_max with factor 1.6 that is at most

@@ -96,9 +96,19 @@ def make_centroidal_problem(
     stance_funcs=None,
     ref_pos_func: Optional[Callable] = None,
     cost_weight: CentroidalCostWeight = CentroidalCostWeight(),
+    force_limits: Optional[tuple] = None,
 ) -> Problem:
     """xdot = [p/m, R u - m g, sum_i u_i (v_i - c) x r_i]
-    (``TestDDPCentroidalMotion.cpp:70-93``)."""
+    (``TestDDPCentroidalMotion.cpp:70-93``).
+
+    ``force_limits=(lo, hi)`` adds box bounds on the per-ridge force
+    coefficients for boxed-DDP solves (``with_input_constraint=True``) —
+    the natural unilateral-contact bound ``0 <= u_i <= f_max`` on the
+    friction-pyramid ridge weights.  This is the wide-input (nu=16)
+    boxed shape class the backward-kernel ``auto`` rule routes to the
+    stacked BoxQP (the fused kernels unroll nu^3 work; see
+    ``solvers/ddp.py::_resolve_backward_impl``), priced by
+    ``benchmarks/bench_all.py::bench_boxed_ddp_centroidal``."""
     if stance_funcs is None:
         stance_funcs = example_stance_func()
     vertices_f, ridges_f, mask_f = stance_funcs
@@ -138,6 +148,12 @@ def make_centroidal_problem(
         d = _diff(t, x)
         return 0.5 * jnp.sum(wtx.astype(x.dtype) * d**2)
 
+    limits_fn = None
+    if force_limits is not None:
+        lo, hi = force_limits
+        limits_fn = lambda t: (jnp.full((NUM_RIDGES,), lo),
+                               jnp.full((NUM_RIDGES,), hi))
+
     return Problem(
         dt=dt,
         state_dim=9,
@@ -146,4 +162,5 @@ def make_centroidal_problem(
         running_cost=running_cost,
         terminal_cost=terminal_cost,
         input_mask=mask_f,
+        input_limits=limits_fn,
     )
