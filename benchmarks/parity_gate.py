@@ -1,27 +1,44 @@
-"""On-chip Pallas-vs-stacked parity gate (VERDICT r3 item #2).
+"""On-chip Pallas-vs-stacked parity gate (VERDICT r3 item #2, r4 item #3).
 
 Rounds 2 and 3 each shipped a default fast path whose compiled kernel
 diverged from the stacked reference path.  This gate makes that
 structurally impossible to miss: ``bench.py`` (which the driver runs on
 real TPU hardware every round) calls :func:`run_parity_gate` BEFORE
-timing and embeds the per-kernel pass/fail + max-err into the bench JSON.
+timing, embeds the per-kernel pass/fail + max-err into the bench JSON,
+and — round 5 — REFUSES to print the headline (nonzero exit) when the
+gate fails.
 
-Checks, at the bench shapes, compiled on the real chip:
+Two layers of checks, at the bench shapes, compiled on the real chip:
 
-  1. unconstrained DDP backward  — ``backward_pallas``      vs ``backward_stacked``
-  2. boxed DDP backward          — ``backward_pallas_boxed``vs ``backward_stacked_boxed``
-  3. FMPC condensed Riccati      — ``backward_fmpc_pallas`` vs ``_backward_bm``
+Kernel-level (single backward call, first-iteration data):
+  1. unconstrained DDP backward — ``backward_pallas``       vs ``backward_stacked``
+  2. boxed DDP backward         — ``backward_pallas_boxed`` vs ``backward_stacked_boxed``
+  3. FMPC condensed Riccati     — ``backward_fmpc_pallas``  vs ``_backward_bm``
+     at BOTH the oscillator shape (N=20 — where ``auto`` serves *stacked*)
+     and the cart-pole serving shape (N=100, ng=4, B=4096 — the shape
+     ``auto`` actually routes to the Pallas kernel; VERDICT r4 weak #1).
+
+End-to-end (full batched solves, default-auto impl vs forced stacked —
+VERDICT r4 weak #4: the solver-level contract gets the same per-round
+treatment as the kernel-level one):
+  4. DDP cart-pole solve_batch   — statuses+iters equal, u within the
+     documented iterated-fp32 divergence class.
+  5. DDP boxed vertical solve    — same contract.
+  6. FMPC cart-pole solve_batch  — converged-lane set identical,
+     converged-lane u tight (diverging lanes are chaotic by measurement:
+     a 1-ulp x0 perturbation of the stacked path alone produces
+     comparable drift — tests/test_pallas_kernels.py:336-366).
 
 Tolerances are the per-kernel parity-contract values: compiled XLA and
 Mosaic reassociate fp32 reductions differently, so on-chip agreement is
 fp-noise-level, not bit-exact (the bit-exact contract is pinned by the
 interpreter-mode tests in tests/test_pallas_kernels.py /
-tests/test_fmpc_pallas.py).  Measured on 2026-08-20 (v5e):
-unconstrained ks 0.0, boxed ks 1.3e-5, FMPC 1.5e-5-class.
+tests/test_fmpc_pallas.py).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import sys
 
@@ -44,6 +61,16 @@ except Exception:
 TOL_DDP_UNCONSTRAINED = 2e-4
 TOL_DDP_BOXED = 2e-4
 TOL_FMPC = 2e-4
+# End-to-end contracts after a full iterated solve (chip measurements
+# 2026-08-21): statuses and per-lane iteration counts are EXACTLY equal;
+# total costs agree to ~1e-6 relative (both paths equally optimal); u
+# itself drifts in the documented iterated-fp32 chaos class on
+# not-yet-converged lanes (measured normalized max|du|/(1+max|u|):
+# unconstrained 1.4e-3 at 10 iters with |u| up to 90, boxed 2e-8-class at
+# 3 iters).  Tolerances carry ~7x headroom on u and ~100x on cost.
+TOL_E2E_DDP_U_NORM = 1e-2
+TOL_E2E_DDP_COST_REL = 1e-4
+TOL_E2E_FMPC_U = 1e-4
 
 
 def _ddp_unconstrained_case(B=4096, N=100):
@@ -99,13 +126,12 @@ def _ddp_boxed_case(B=1024, N=100):
     return c, Dst, bounds, flat(VxT), flat(VxxT), lam
 
 
-def _fmpc_case(B=4096, N=20):
-    """First-iteration oscillator FMPC coefficients (batch-minor)."""
+def _fmpc_case(problem, B, N):
+    """First-iteration FMPC coefficients (batch-minor) for ``problem``."""
     from nmpc_tpu.core.types import FmpcConfig, fmpc_variable_reset
-    from nmpc_tpu.models.oscillator import make_oscillator_problem
     from nmpc_tpu.solvers import fmpc as F
 
-    p = make_oscillator_problem(0.01)
+    p = problem
     c = FmpcConfig(horizon_steps=N, max_iter=5)
     nx, nu, ng = p.state_dim, p.input_dim, p.ineq_dim
     var1 = fmpc_variable_reset(N, nx, nu, ng, dtype=jnp.float32)
@@ -137,47 +163,209 @@ def _norm_errs(o1, o2, names):
     return out
 
 
-def run_parity_gate() -> dict:
-    """Compiled pallas-vs-stacked parity at the bench shapes.  Returns
-    ``{kernel: {max_err, tol, pass}}`` plus an overall ``pass`` bool."""
-    from nmpc_tpu.kernels.ddp_backward import (backward_stacked,
-                                               backward_stacked_boxed)
-    from nmpc_tpu.kernels.ddp_backward_pallas import (backward_pallas,
-                                                      backward_pallas_boxed)
+def _fmpc_kernel_check(problem, B, N, tol):
     from nmpc_tpu.kernels.fmpc_backward_pallas import backward_fmpc_pallas
     from nmpc_tpu.solvers import fmpc as F
 
-    out = {}
-
-    c, S, VxT, VxxT, lam = _ddp_unconstrained_case()
-    o1 = backward_stacked(c, S, VxT, VxxT, lam)
-    o2 = backward_pallas(c, S, VxT, VxxT, lam)
-    errs = _norm_errs(o1, o2, ("ks", "Ks", "dV"))
-    ok_eq = bool((np.asarray(o1[3]) == np.asarray(o2[3])).all())
-    err = max(errs.values())
-    out["ddp_unconstrained"] = {
-        "errs": errs, "max_err": err, "tol": TOL_DDP_UNCONSTRAINED,
-        "ok_equal": ok_eq,
-        "pass": bool(err <= TOL_DDP_UNCONSTRAINED and ok_eq)}
-
-    c, Dst, bounds, VxT, VxxT, lam = _ddp_boxed_case()
-    o1 = backward_stacked_boxed(c, Dst, bounds, VxT, VxxT, lam)
-    o2 = backward_pallas_boxed(c, Dst, bounds, VxT, VxxT, lam)
-    errs = _norm_errs(o1, o2, ("ks", "Ks", "dV"))
-    ok_eq = bool((np.asarray(o1[3]) == np.asarray(o2[3])).all())
-    err = max(errs.values())
-    out["ddp_boxed"] = {
-        "errs": errs, "max_err": err, "tol": TOL_DDP_BOXED,
-        "ok_equal": ok_eq,
-        "pass": bool(err <= TOL_DDP_BOXED and ok_eq)}
-
-    p, c, co, var, gms, eps0 = _fmpc_case()
+    p, c, co, var, gms, eps0 = _fmpc_case(problem, B, N)
     o1 = F._backward_bm(p, c, co, var.ss, var.nus, gms, eps0)
     o2 = backward_fmpc_pallas(p, c, co, var.ss, var.nus, gms, eps0)
     errs = _norm_errs(o1, o2, ("ks", "Ks", "Ps", "ss"))
     err = max(errs.values())
-    out["fmpc"] = {"errs": errs, "max_err": err, "tol": TOL_FMPC,
-                   "pass": bool(err <= TOL_FMPC)}
+    return {"errs": errs, "max_err": err, "tol": tol,
+            "pass": bool(err <= tol)}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end cross-implementation checks (VERDICT r4 weak #4)
+# ---------------------------------------------------------------------------
+
+
+def _e2e_ddp_compare(a, b):
+    """Cross-impl solve comparison: exact status/iters equality, tight
+    cost agreement, u bounded in the normalized chaos class."""
+    st_eq = bool(np.array_equal(np.asarray(a.status), np.asarray(b.status)))
+    it_eq = bool(np.array_equal(np.asarray(a.iters), np.asarray(b.iters)))
+    ua, ub = np.asarray(a.us, np.float64), np.asarray(b.us, np.float64)
+    du = float(np.max(np.abs(ua - ub)) / (1.0 + np.max(np.abs(ua))))
+    ca = np.asarray(jnp.sum(a.costs, axis=1), np.float64)
+    cb = np.asarray(jnp.sum(b.costs, axis=1), np.float64)
+    dc = float(np.max(np.abs(ca - cb) / (1.0 + np.abs(ca))))
+    return {"status_equal": st_eq, "iters_equal": it_eq,
+            "u_norm_diff": du, "u_tol": TOL_E2E_DDP_U_NORM,
+            "cost_rel_diff": dc, "cost_tol": TOL_E2E_DDP_COST_REL,
+            "pass": bool(st_eq and it_eq and du <= TOL_E2E_DDP_U_NORM
+                         and dc <= TOL_E2E_DDP_COST_REL)}
+
+
+def _e2e_ddp_unconstrained():
+    """Full 10-iteration cart-pole solve_batch, default-auto vs stacked."""
+    from nmpc_tpu import DDPConfig, DDPSolver
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+
+    p = make_cartpole_problem(0.01)
+    B, N = 4096, 100
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 4))).astype(np.float32))
+    us0 = jnp.zeros((B, N, 1), jnp.float32)
+    t0 = jnp.float32(0.0)
+    res = {}
+    # "auto" = whatever the DEFAULT serves on this chip (round 5: the
+    # remat kernel for eligible problems) — the e2e contract follows the
+    # default so divergence-in-the-default cannot hide
+    for impl in ("auto", "stacked"):
+        c = DDPConfig(horizon_steps=N, max_iter=10, backward_impl=impl)
+        res[impl] = DDPSolver(p, c).solve_batch(t0, x0s, us0)
+    return _e2e_ddp_compare(res["auto"], res["stacked"])
+
+
+def _e2e_ddp_boxed():
+    """Full 3-iteration boxed vertical-motion solve, default-auto vs
+    stacked."""
+    from nmpc_tpu import DDPConfig, DDPSolver
+    from nmpc_tpu.models.vertical import make_vertical_problem
+
+    p = make_vertical_problem(0.01)
+    B, N = 1024, 100
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([1.2, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 2))).astype(np.float32))
+    us0 = jnp.asarray(0.02 * rng.normal(size=(B, N, 2)).astype(np.float32))
+    t0 = jnp.float32(0.0)
+    res = {}
+    for impl in ("auto", "stacked"):
+        c = DDPConfig(horizon_steps=N, max_iter=3, initial_lambda=1e-6,
+                      with_input_constraint=True, backward_impl=impl)
+        res[impl] = DDPSolver(p, c).solve_batch(t0, x0s, us0)
+    return _e2e_ddp_compare(res["auto"], res["stacked"])
+
+
+def _e2e_fmpc():
+    """Full 5-iteration cart-pole FMPC solve at the pallas serving shape
+    (N=100 >= 50, so ``auto`` routes to the fused kernel), vs forced
+    stacked.  Contract: the converged-lane SET is identical and converged
+    lanes agree tightly; diverging lanes are excluded (chaotic —
+    tests/test_pallas_kernels.py:336-366 has the 1-ulp evidence)."""
+    from nmpc_tpu.core.types import FmpcConfig, FmpcStatus, fmpc_variable_reset
+    from nmpc_tpu.models.cartpole import make_cartpole_fmpc_problem
+    from nmpc_tpu.solvers.fmpc import FmpcSolver
+
+    p = make_cartpole_fmpc_problem(0.01)
+    B, N = 512, 100
+    nx, nu, ng = p.state_dim, p.input_dim, p.ineq_dim
+    rng = np.random.default_rng(0)
+    # near-upright stabilization: the cold-start swing-up population never
+    # reaches the KKT tolerance within any fixed budget (measured 0/512
+    # SUCCEEDED at max_iter 20), so it cannot carry a converged-lane
+    # contract; stabilization converges and drives the same pallas kernel
+    x0s = jnp.asarray((0.15 * rng.normal(size=(B, 4))).astype(np.float32))
+    var1 = fmpc_variable_reset(N, nx, nu, ng, dtype=jnp.float32)
+    vars_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), var1)
+    eps0 = jnp.full((B,), 1e-4, jnp.float32)
+    t0 = jnp.float32(0.0)
+    res = {}
+    for impl in ("pallas", "stacked"):
+        c = FmpcConfig(horizon_steps=N, max_iter=5, backward_impl=impl,
+                       init_complementary_variable=True)
+        res[impl] = FmpcSolver(p, c).solve_batch(t0, x0s, vars_b, eps0)
+    a, b = res["pallas"], res["stacked"]
+    st_a, st_b = np.asarray(a.status), np.asarray(b.status)
+    conv_a = st_a == int(FmpcStatus.SUCCEEDED)
+    conv_b = st_b == int(FmpcStatus.SUCCEEDED)
+    set_eq = bool(np.array_equal(conv_a, conv_b))
+    n_conv = int(conv_a.sum())
+    if n_conv:
+        du = float(np.max(np.abs(np.asarray(a.variable.us)[conv_a]
+                                 - np.asarray(b.variable.us)[conv_a])))
+    else:
+        du = float("nan")
+    # the contract must bite on a real population
+    return {"converged_set_equal": set_eq, "n_converged": n_conv,
+            "u_max_diff_converged": du, "tol": TOL_E2E_FMPC_U,
+            "pass": bool(set_eq and n_conv >= B // 4
+                         and du <= TOL_E2E_FMPC_U)}
+
+
+def run_parity_gate() -> dict:
+    """Compiled pallas-vs-stacked parity at the bench shapes.  Returns
+    ``{check: {..., pass}}`` plus an overall ``pass`` bool."""
+    from nmpc_tpu.kernels.ddp_backward import (backward_stacked,
+                                               backward_stacked_boxed)
+    from nmpc_tpu.kernels.ddp_backward_pallas import (backward_pallas,
+                                                      backward_pallas_boxed)
+    from nmpc_tpu.models.cartpole import make_cartpole_fmpc_problem
+    from nmpc_tpu.models.oscillator import make_oscillator_problem
+
+    from nmpc_tpu.kernels.ddp_backward_remat import backward_remat
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+    from nmpc_tpu.models.vertical import make_vertical_problem
+
+    out = {}
+
+    def _cmp(name, o1, o2, tol):
+        errs = _norm_errs(o1, o2, ("ks", "Ks", "dV"))
+        ok_eq = bool((np.asarray(o1[3]) == np.asarray(o2[3])).all())
+        err = max(errs.values())
+        out[name] = {"errs": errs, "max_err": err, "tol": tol,
+                     "ok_equal": ok_eq, "pass": bool(err <= tol and ok_eq)}
+
+    c, S, VxT, VxxT, lam = _ddp_unconstrained_case()
+    o1 = backward_stacked(c, S, VxT, VxxT, lam)
+    _cmp("ddp_unconstrained", o1, backward_pallas(c, S, VxT, VxxT, lam),
+         TOL_DDP_UNCONSTRAINED)
+    # the whole-iteration remat kernel (round 5 default for eligible
+    # problems): trajectory-fed, derivatives tile-interpreted in-kernel
+    p = make_cartpole_problem(0.01)
+    B, N = lam.shape[-1], S.Fx.shape[0]
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 4))).astype(np.float32))
+    us = jnp.asarray(rng.normal(size=(B, N, 1)).astype(np.float32) * 0.2)
+    from nmpc_tpu.solvers import ddp as Dmod
+    xs, _ = Dmod._rollout_stacked(p, c, jnp.float32(0.0), x0s, us)
+    o3 = backward_remat(p, c, jnp.float32(0.0), jnp.moveaxis(xs, 0, -1),
+                        jnp.moveaxis(us, 0, -1), VxT, VxxT, lam)
+    _cmp("ddp_remat", o1, o3, TOL_DDP_UNCONSTRAINED)
+
+    c, Dst, bounds, VxT, VxxT, lam = _ddp_boxed_case()
+    o1 = backward_stacked_boxed(c, Dst, bounds, VxT, VxxT, lam)
+    _cmp("ddp_boxed", o1,
+         backward_pallas_boxed(c, Dst, bounds, VxT, VxxT, lam),
+         TOL_DDP_BOXED)
+    # boxed remat (bounds + BoxQP inputs rematerialized in-kernel);
+    # the trajectory must be regenerated with the SAME seed/order as
+    # _ddp_boxed_case so it matches the stacked case's derivative data
+    pv = make_vertical_problem(0.01)
+    Bv, Nv = lam.shape[-1], Dst.Fx.shape[0]
+    rngv = np.random.default_rng(0)
+    x0v = jnp.asarray((np.tile([1.2, 0.0], (Bv, 1))
+                       + 0.05 * rngv.normal(size=(Bv, 2))).astype(np.float32))
+    us0v = jnp.asarray(0.02 * rngv.normal(size=(Bv, Nv, 2)).astype(np.float32))
+    from nmpc_tpu.kernels.lanes import block_lanes, lane_factors
+    Sv, Lv = lane_factors(Bv)
+    xs_l, _ = Dmod._rollout_lanes(pv, c, jnp.float32(0.0),
+                                  block_lanes(x0v, 0, Sv, Lv),
+                                  block_lanes(us0v, 0, Sv, Lv))
+    flatv = lambda a: a.reshape(a.shape[:-2] + (Bv,))
+    o3 = backward_remat(pv, c, jnp.float32(0.0), flatv(xs_l),
+                        flatv(block_lanes(us0v, 0, Sv, Lv)),
+                        VxT, VxxT, lam, boxed=True)
+    _cmp("ddp_remat_boxed", o1, o3, TOL_DDP_BOXED)
+
+    # FMPC kernel at the oscillator bench shape (auto serves stacked here)
+    out["fmpc"] = _fmpc_kernel_check(make_oscillator_problem(0.01),
+                                     B=4096, N=20, tol=TOL_FMPC)
+    # ... and at the serving shape auto actually routes to pallas
+    # (cart-pole N=100, ng=4 — VERDICT r4 weak #1)
+    out["fmpc_serving"] = _fmpc_kernel_check(
+        make_cartpole_fmpc_problem(0.01), B=4096, N=100, tol=TOL_FMPC)
+
+    # end-to-end cross-implementation contracts (VERDICT r4 weak #4)
+    out["e2e_ddp_unconstrained"] = _e2e_ddp_unconstrained()
+    out["e2e_ddp_boxed"] = _e2e_ddp_boxed()
+    out["e2e_fmpc"] = _e2e_fmpc()
 
     out["pass"] = all(v["pass"] for v in out.values()
                       if isinstance(v, dict))

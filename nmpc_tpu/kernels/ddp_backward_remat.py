@@ -9,43 +9,50 @@ removes that buffer entirely: it streams only the TRAJECTORY
 (x_i, u_i — (nx+nu) lane-tiles per stage instead of
 2nx² + 2nx·nu + nx + nu + nu² ≈ 46 at the cart-pole shape) and
 recomputes each stage's derivatives from (x_i, u_i) as it walks the
-horizon, by re-tracing the problem's own derivative callables
-(``solvers/ddp.py::_stage_derivs`` — autodiff jvps, masking and all) on
-(SUB, 128) lane-tile values inside the kernel.  The problem callbacks
-are plain jnp algebra, so the traced jacfwd/grad primitives lower to
-elementwise VPU ops exactly like the hand-unrolled Riccati math.
-
-This fuses the reference's two hot loops —
+horizon.  This fuses the reference's two hot loops —
 ``DDPSolver.hpp:160-178`` (derivative sweep) and ``:343-534`` (backward
 recursion) — into ONE kernel program with the value-function carry
-resident in VMEM.  HBM traffic for the sweep+backward segment drops ~10x
-at the cart-pole shape (measured figures in BENCH_RESULTS.md).
+resident in VMEM.
 
-Model-constant plumbing: Pallas kernels may not capture array constants,
-and Mosaic cannot vectorize the 1-D weight vectors user callbacks close
-over (measured: a rebuilt f32[4] inside the kernel fails to lower).
-``_hoist_consts`` therefore extracts every captured array from the
-stage-derivative trace via ``jax.make_jaxpr``; the call layer broadcasts
-each one to lane-tile shape ``const.shape + (B4, 128)`` (loop-invariant,
-hoisted out of the solve loop by XLA) and feeds them to the kernel as
-ordinary VMEM inputs, where the re-traced callback consumes them as
-lane-batched values — no 1-D arrays anywhere in the lowered kernel.
+How the derivatives are computed in-kernel (kernels/tileval.py): the
+problem's dynamics-jvp / cost-gradient / gradient-jvp functions are
+traced ONCE at scalar shapes, dead-code-eliminated, and then the jaxprs
+are **interpreted on (SUB, 128) lane tiles** — every small-vector value
+becomes a flat list of tiles, transposes/slices are free re-indexing,
+model constants inline as python literals, and evaluating the jvp
+jaxprs with one-hot LITERAL seeds constant-folds into exactly the
+analytic partial-derivative expressions.  Designs measured and rejected
+first (2026-08-21, on chip, headline shape B=4096 N=100 cart-pole):
 
-Semantics contract: identical to ``_derivative_sweep_lanes`` +
-``backward_stacked`` / ``backward_stacked_boxed`` — the same
-``_stage_derivs`` jaxpr evaluated on the same (t_i, x_i, u_i) values
-(the in-kernel ``t_i = t0 + dt * i`` is computed with the same fp32 ops
-as the sweep's ``t0 + dt * arange(N)``), followed by the same unrolled
-tile Riccati stage as ``backward_pallas`` (boxed: including the
-full-semantics in-kernel BoxQP ``_boxqp_t``).  Parity is pinned in
-interpreter mode by tests/test_pallas_kernels.py and on-chip by
-benchmarks/parity_gate.py.
+* replaying the full ``_stage_derivs`` jaxpr under ``vmap`` inside the
+  kernel — the stacked [seeds, dims, SUB, 128] autodiff intermediates
+  demanded 33-74 MB of Mosaic scoped vmem and Mosaic compile time blew
+  up super-linearly in the block height (SUB=32 >10 min, SUB=1 15 s);
+* grid-over-stages layout (grid = (B-blocks, N), per-stage in/out
+  blocks, carry in scratch) — compiled and matched (3.6e-6) but paid
+  ~24 us per grid step of pipeline overhead (9.5 ms total);
+* fori_loop + manual DMA with the vmapped replay — compiled once the
+  operand/result VMEM promotion was budgeted, matched (3.6e-6), but ran
+  at 9.45 ms: vmap keeps small vectors 1-D and its batching rules force
+  Mosaic relayouts per op.  With the **tile interpreter** the identical
+  kernel with stubbed fields runs at 0.156 ms — the streaming + Riccati
+  framework itself is faster than the sweep-fed kernel (fewer bytes).
 
-Eligibility (enforced by the solver's ``auto`` rule): fp32,
-``deriv_dtype == "same"`` (no fp64 islands on the TPU VPU), first-order
-only, B % 128 == 0.  Problems whose callbacks are not Mosaic-traceable
-(e.g. gather-heavy table interpolation) can force
-``backward_impl="pallas"`` to keep the round-4 sweep+kernel split.
+Semantics contract: the same derivative math as
+``_derivative_sweep_lanes`` (jvp columns of the same callables on the
+same (t_i, x_i, u_i) values; ``t_i = t0 + dt * i`` uses the same fp32
+ops as the sweep's ``t0 + dt * arange(N)``), followed by the same
+unrolled tile Riccati stage as ``backward_pallas`` (boxed: including
+the full-semantics in-kernel BoxQP ``_boxqp_t``).  Parity is pinned in
+interpreter mode by tests/test_pallas_kernels.py / tests/test_tileval.py
+and on-chip by benchmarks/parity_gate.py.
+
+Eligibility (enforced by the solver's ``auto`` rule via
+:func:`remat_supported`): fp32, ``deriv_dtype == "same"``, first-order
+only, B % 128 == 0, and problem callbacks whose traces the tile
+interpreter supports (plain jnp algebra; no gathers/scans/big tables).
+Problems outside that set keep the round-4 sweep+kernel split
+(``backward_impl="pallas"``).
 """
 
 from __future__ import annotations
@@ -61,44 +68,45 @@ from jax.experimental.pallas import tpu as pltpu
 from nmpc_tpu.core.types import DDPConfig
 from nmpc_tpu.kernels.ddp_backward_pallas import (_riccati_stage,
                                                   _riccati_stage_boxed)
-
-try:  # jax>=0.5 moved eval_jaxpr's home; keep both spellings working
-    from jax.core import eval_jaxpr as _eval_jaxpr
-except ImportError:  # pragma: no cover
-    from jax.extend.core import eval_jaxpr as _eval_jaxpr
+from nmpc_tpu.kernels.tileval import (TileVal, _Ctx, eval_jaxpr_tiles,
+                                      jaxpr_tile_supported)
 
 
 @functools.lru_cache(maxsize=256)
 def _hoist(problem, which: str, nx: int, nu: int, dtype_name: str):
-    """Trace ONE small scalar stage callable and hoist its captured array
-    constants (model weights, plant parameters) into explicit arguments:
-    returns (pure_fn(t, x, u, *consts) -> outputs, consts tuple).
-
-    Kept deliberately small-grained (dynamics / cost gradient / analytic
-    derivative callables / mask+bounds separately): the first remat build
-    replayed the FULL ``_stage_derivs`` jaxpr (jacfwd/hessian inside) and
-    its stacked [seeds, dims, SUB, 128] intermediates blew Mosaic's
-    scoped-vmem stack (~33 MB) and compile time; the kernel instead
-    differentiates these small functions per-column with ``jax.jvp`` on
-    lane tiles, so every intermediate stays tile-shaped."""
+    """Trace one scalar stage callable, DCE it, and package it for the
+    tile interpreter: returns (closed_jaxpr, used_args, out_tree,
+    n_eqns).  ``used_args`` marks which of the declared scalar inputs
+    survived DCE (the interpreter is fed only those)."""
     dtype = jnp.dtype(dtype_name)
+    sd = jax.ShapeDtypeStruct
 
-    if which == "dyn":
-        f = problem.dynamics
+    t_av, x_av, u_av = sd((), dtype), sd((nx,), dtype), sd((nu,), dtype)
+    if which == "dyn_jvp":
+        def f(t, x, u, dx, du):
+            _, tang = jax.jvp(lambda xx, uu: problem.dynamics(t, xx, uu),
+                              (x, u), (dx, du))
+            return tang
+        avals = (t_av, x_av, u_av, x_av, u_av)
     elif which == "dyn_derivs":
         f = problem.dynamics_derivs
+        avals = (t_av, x_av, u_av)
     elif which == "cost_grad":
         def f(t, x, u):
             return (jax.grad(problem.running_cost, argnums=1)(t, x, u),
                     jax.grad(problem.running_cost, argnums=2)(t, x, u))
-    elif which == "cost_hess":
-        def f(t, x, u):
-            gx = jax.grad(problem.running_cost, argnums=1)
-            return (jax.jacfwd(gx, argnums=1)(t, x, u),
-                    jax.hessian(problem.running_cost, argnums=2)(t, x, u),
-                    jax.jacfwd(gx, argnums=2)(t, x, u))
+        avals = (t_av, x_av, u_av)
+    elif which == "cost_grad_jvp":
+        def f(t, x, u, dx, du):
+            def g(xx, uu):
+                return (jax.grad(problem.running_cost, argnums=1)(t, xx, uu),
+                        jax.grad(problem.running_cost, argnums=2)(t, xx, uu))
+            _, tang = jax.jvp(g, (x, u), (dx, du))
+            return tang
+        avals = (t_av, x_av, u_av, x_av, u_av)
     elif which == "cost_derivs":
         f = problem.running_cost_derivs
+        avals = (t_av, x_av, u_av)
     elif which == "aux":
         # mask + box bounds, mirrors solvers/ddp.py::_stage_derivs
         def f(t, x, u):
@@ -115,149 +123,136 @@ def _hoist(problem, which: str, nx: int, nu: int, dtype_name: str):
                 lower = jnp.full((nu,), -jnp.inf, x.dtype)
                 upper = jnp.full((nu,), jnp.inf, x.dtype)
             return mask, lower, upper
+        avals = (t_av, x_av, u_av)
     else:  # pragma: no cover
         raise ValueError(which)
 
-    closed = jax.make_jaxpr(f)(
-        jax.ShapeDtypeStruct((), dtype),
-        jax.ShapeDtypeStruct((nx,), dtype),
-        jax.ShapeDtypeStruct((nu,), dtype))
-    consts = tuple(closed.consts)
-    tree = jax.tree_util.tree_structure(
-        jax.eval_shape(f, jax.ShapeDtypeStruct((), dtype),
-                       jax.ShapeDtypeStruct((nx,), dtype),
-                       jax.ShapeDtypeStruct((nu,), dtype)))
+    closed = jax.make_jaxpr(f)(*avals)
+    tree = jax.tree_util.tree_structure(jax.eval_shape(f, *avals))
+    # DCE before in-kernel interpretation: autodiff traces record large
+    # dead primal computations (the raw cost-gradient-jvp trace is ~3x
+    # its live size)
+    try:
+        from jax._src.interpreters.partial_eval import dce_jaxpr_consts
+        from jax.extend.core import ClosedJaxpr
 
-    def pure_fn(t, x, u, *cs):
-        out = _eval_jaxpr(closed.jaxpr, cs, t, x, u)
-        return jax.tree_util.tree_unflatten(tree, out)
-
-    return pure_fn, consts, len(closed.jaxpr.eqns)
-
-
-# When the traced cost-Hessian jaxpr has at most this many equations
-# (true for the quadratic costs every in-repo model uses — the Hessian is
-# x-independent, so the trace is consts + a few broadcasts), the kernel
-# calls it DIRECTLY instead of rematerializing curvature per-column with
-# jvp-of-grad: ~600 fewer tile-ops per stage, and small stacked
-# intermediates of this size lower fine in Mosaic.
-_HESS_DIRECT_MAX_EQNS = 48
+        new_jaxpr, used_c, used_args = dce_jaxpr_consts(
+            closed.jaxpr, [True] * len(closed.jaxpr.outvars))
+        consts = [c for c, u_ in zip(closed.consts, used_c) if u_]
+        closed = ClosedJaxpr(new_jaxpr, consts)
+    except ImportError:  # pragma: no cover — private API moved; no DCE
+        used_args = [True] * len(avals)
+    return closed, tuple(used_args), tree, len(closed.jaxpr.eqns)
 
 
-def _hoist_groups(problem, config: DDPConfig, boxed: bool, nx: int, nu: int,
-                  dtype_name: str):
-    """The const-hoisted callables the remat kernel needs, plus the
-    concatenated const list and per-group offsets."""
+def _hoist_groups(problem, nx: int, nu: int, boxed: bool, dtype_name: str):
     groups = {}
     if problem.dynamics_derivs is not None:
         groups["dyn_derivs"] = _hoist(problem, "dyn_derivs", nx, nu,
                                       dtype_name)
     else:
-        groups["dyn"] = _hoist(problem, "dyn", nx, nu, dtype_name)
+        groups["dyn_jvp"] = _hoist(problem, "dyn_jvp", nx, nu, dtype_name)
     if problem.running_cost_derivs is not None:
         groups["cost_derivs"] = _hoist(problem, "cost_derivs", nx, nu,
                                        dtype_name)
     else:
         groups["cost_grad"] = _hoist(problem, "cost_grad", nx, nu,
                                      dtype_name)
-        hess = _hoist(problem, "cost_hess", nx, nu, dtype_name)
-        if hess[2] <= _HESS_DIRECT_MAX_EQNS:
-            groups["cost_hess"] = hess
+        groups["cost_grad_jvp"] = _hoist(problem, "cost_grad_jvp", nx, nu,
+                                         dtype_name)
     if problem.input_mask is not None or boxed:
         groups["aux"] = _hoist(problem, "aux", nx, nu, dtype_name)
-
-    fns, offsets, consts = {}, {}, []
-    for name, (fn, cs, _n) in groups.items():
-        fns[name] = fn
-        offsets[name] = (len(consts), len(cs))
-        consts.extend(cs)
-    return fns, offsets, tuple(consts)
+    return groups
 
 
-def _stage_fields_slim(problem, config: DDPConfig, fns, offsets, consts,
-                       t, x, u, nx: int, nu: int, boxed: bool):
-    """Rematerialize one stage's Riccati fields from tile values
-    x [nx, SUB, 128], u [nu, SUB, 128] — per-column jvp seeds unrolled in
-    Python so every intermediate is a lane tile.  Matches
-    ``solvers/ddp.py::_stage_derivs`` (same callables, same masking)."""
-    from nmpc_tpu.kernels.lanes import vmap_lanes
+def remat_supported(problem, nx: int, nu: int, boxed: bool,
+                    dtype_name: str = "float32") -> bool:
+    """Static gate for the solver's ``auto`` rule: True iff every stage
+    callable's (DCE'd) trace can be tile-interpreted in-kernel."""
+    try:
+        groups = _hoist_groups(problem, nx, nu, boxed, dtype_name)
+    except Exception:  # noqa: BLE001 — untraceable callables
+        return False
+    return all(jaxpr_tile_supported(g[0]) for g in groups.values())
 
-    def call(name, *args):
-        fn = fns[name]
-        o, n = offsets[name]
-        cs = consts[o:o + n]
-        return vmap_lanes(fn, len(args) - 1 + n)(*args, *cs)
 
-    zeros = jnp.zeros_like(x[0])
-    ones = jnp.ones_like(x[0])
+def _tile_call(group, args, ctx):
+    closed, used_args, tree, _ = group
+    kept = [a for a, u_ in zip(args, used_args) if u_]
+    out = eval_jaxpr_tiles(closed, kept, ctx)
+    return jax.tree_util.tree_unflatten(tree, out)
 
-    def seed(dim, c):
-        return jnp.stack([ones if a == c else zeros for a in range(dim)])
 
-    mat = lambda A, n, m: [[A[a, b] for b in range(m)] for a in range(n)]
-    vec = lambda V, n: [V[a] for a in range(n)]
+def _stage_fields_tile(problem, groups, ctx, t, x, u, nx: int, nu: int,
+                       boxed: bool, dtype):
+    """Rematerialize one stage's Riccati fields from tile LISTS
+    x (nx tiles), u (nu tiles) via the tile interpreter.  Field entries
+    may be python literals (folded constants) — downstream jnp arithmetic
+    broadcasts them and Mosaic constant-folds."""
+    tv = lambda shape, elems: TileVal(shape, dtype, elems)
+    t_v = tv((), [t])
+    x_v = tv((nx,), x)
+    u_v = tv((nu,), u)
+
+    def onehot(dim, c):
+        return tv((dim,), [1.0 if a == c else 0.0 for a in range(dim)])
+
+    zx, zu = tv((nx,), [0.0] * nx), tv((nu,), [0.0] * nu)
 
     # ---- dynamics first derivatives ------------------------------------
-    if "dyn_derivs" in fns:
-        FxA, FuA = call("dyn_derivs", t, x, u)
-        Fx = mat(FxA, nx, nx)
-        Fu = mat(FuA, nx, nu)
+    if "dyn_derivs" in groups:
+        FxV, FuV = _tile_call(groups["dyn_derivs"], (t_v, x_v, u_v), ctx)
+        Fx = [[FxV.at((r, c)) for c in range(nx)] for r in range(nx)]
+        Fu = [[FuV.at((r, c)) for c in range(nu)] for r in range(nx)]
     else:
-        zx, zu = jnp.zeros_like(x), jnp.zeros_like(u)
-        # linearize: the primal (incl. transcendentals) is evaluated ONCE
-        # and the per-column tangent calls replay only linear ops
-        _, dyn_lin = jax.linearize(lambda a, b: call("dyn", t, a, b), x, u)
+        g = groups["dyn_jvp"]
         Fx = [[None] * nx for _ in range(nx)]
         Fu = [[None] * nu for _ in range(nx)]
         for c in range(nx):
-            col = dyn_lin(seed(nx, c), zu)
+            col = _tile_call(g, (t_v, x_v, u_v, onehot(nx, c), zu), ctx)
             for r in range(nx):
-                Fx[r][c] = col[r]
+                Fx[r][c] = col.elems[r]
         for c in range(nu):
-            col = dyn_lin(zx, seed(nu, c))
+            col = _tile_call(g, (t_v, x_v, u_v, zx, onehot(nu, c)), ctx)
             for r in range(nx):
-                Fu[r][c] = col[r]
+                Fu[r][c] = col.elems[r]
 
     # ---- running-cost expansion ----------------------------------------
-    if "cost_derivs" in fns:
-        LxA, LuA, LxxA, LuuA, LxuA = call("cost_derivs", t, x, u)
-        Lx, Lu = vec(LxA, nx), vec(LuA, nu)
-        Lxx, Luu = mat(LxxA, nx, nx), mat(LuuA, nu, nu)
-        Lxu = mat(LxuA, nx, nu)
+    if "cost_derivs" in groups:
+        LxV, LuV, LxxV, LuuV, LxuV = _tile_call(
+            groups["cost_derivs"], (t_v, x_v, u_v), ctx)
+        Lx = [LxV.elems[a] for a in range(nx)]
+        Lu = [LuV.elems[a] for a in range(nu)]
+        Lxx = [[LxxV.at((r, c)) for c in range(nx)] for r in range(nx)]
+        Luu = [[LuuV.at((r, c)) for c in range(nu)] for r in range(nu)]
+        Lxu = [[LxuV.at((r, c)) for c in range(nu)] for r in range(nx)]
     else:
-        zx, zu = jnp.zeros_like(x), jnp.zeros_like(u)
-        LxA, LuA = call("cost_grad", t, x, u)
-        Lx, Lu = vec(LxA, nx), vec(LuA, nu)
-        if "cost_hess" in fns:
-            # quadratic-cost fast path: the Hessian trace is tiny
-            # (x-independent), call it directly
-            LxxA, LuuA, LxuA = call("cost_hess", t, x, u)
-            Lxx, Luu = mat(LxxA, nx, nx), mat(LuuA, nu, nu)
-            Lxu = mat(LxuA, nx, nu)
-        else:
-            _, grad_lin = jax.linearize(
-                lambda a, b: call("cost_grad", t, a, b), x, u)
-            Lxx = [[None] * nx for _ in range(nx)]
-            Luu = [[None] * nu for _ in range(nu)]
-            Lxu = [[None] * nu for _ in range(nx)]
-            for c in range(nx):
-                gx, gu = grad_lin(seed(nx, c), zu)
-                for r in range(nx):
-                    Lxx[r][c] = gx[r]
-                for r in range(nu):
-                    Lxu[c][r] = gu[r]  # Lxu[nx][nu] = d2l / dx_c du_r
-            for c in range(nu):
-                gx, gu = grad_lin(zx, seed(nu, c))
-                for r in range(nu):
-                    Luu[r][c] = gu[r]
+        LxV, LuV = _tile_call(groups["cost_grad"], (t_v, x_v, u_v), ctx)
+        Lx = [LxV.elems[a] for a in range(nx)]
+        Lu = [LuV.elems[a] for a in range(nu)]
+        gj = groups["cost_grad_jvp"]
+        Lxx = [[None] * nx for _ in range(nx)]
+        Luu = [[None] * nu for _ in range(nu)]
+        Lxu = [[None] * nu for _ in range(nx)]
+        for c in range(nx):
+            gx, gu = _tile_call(gj, (t_v, x_v, u_v, onehot(nx, c), zu), ctx)
+            for r in range(nx):
+                Lxx[r][c] = gx.elems[r]
+            for r in range(nu):
+                Lxu[c][r] = gu.elems[r]   # d2l / dx_c du_r
+        for c in range(nu):
+            gx, gu = _tile_call(gj, (t_v, x_v, u_v, zx, onehot(nu, c)), ctx)
+            for r in range(nu):
+                Luu[r][c] = gu.elems[r]
 
     fields = {"Fx": Fx, "Fu": Fu, "Lx": Lx, "Lu": Lu,
               "Lxx": Lxx, "Luu": Luu, "Lxu": Lxu}
 
     # ---- mask + bounds (mirror of _stage_derivs) -----------------------
-    if "aux" in fns:
-        maskA, lowerA, upperA = call("aux", t, x, u)
-        m = vec(maskA, nu)
+    if "aux" in groups:
+        maskV, lowerV, upperV = _tile_call(groups["aux"], (t_v, x_v, u_v),
+                                           ctx)
+        m = [maskV.elems[a] for a in range(nu)]
         if problem.input_mask is not None:
             fields["Fu"] = [[Fu[r][c] * m[c] for c in range(nu)]
                             for r in range(nx)]
@@ -268,52 +263,35 @@ def _stage_fields_slim(problem, config: DDPConfig, fns, offsets, consts,
             fields["Lxu"] = [[Lxu[r][c] * m[c] for c in range(nu)]
                              for r in range(nx)]
         if boxed:
-            fields["lower"] = vec(lowerA, nu)
-            fields["upper"] = vec(upperA, nu)
-            fields["u"] = [u[a] for a in range(nu)]
-    elif boxed:
-        # unmasked problem without input_limits cannot be boxed-solved
-        # meaningfully, but keep semantics: infinite bounds
-        inf = jnp.full_like(zeros, jnp.inf)
-        fields["lower"] = [-inf for _ in range(nu)]
-        fields["upper"] = [inf for _ in range(nu)]
-        fields["u"] = [u[a] for a in range(nu)]
+            fields["lower"] = [lowerV.elems[a] for a in range(nu)]
+            fields["upper"] = [upperV.elems[a] for a in range(nu)]
+            fields["u"] = list(u)
+    elif boxed:  # pragma: no cover — boxed without limits is degenerate
+        fields["lower"] = [-jnp.inf] * nu
+        fields["upper"] = [jnp.inf] * nu
+        fields["u"] = list(u)
+
+    # literal field entries are fine for the Riccati algebra (python
+    # floats broadcast); promote them to f32 scalars only where masked
+    # arithmetic above could have produced exact python ints
     return fields
 
 
 def _make_kernel_remat(problem, config: DDPConfig, nx: int, nu: int,
-                       N: int, SUB: int, boxed: bool, fns, offsets,
-                       n_consts: int):
-    """Streaming layout of ``ddp_backward_pallas._make_kernel`` (manual
-    double-buffered per-stage DMA inside one fori_loop program) with the
-    7 derivative-field DMAs replaced by 2 trajectory DMAs (x_i, u_i) and
-    the fields rematerialized in-kernel by ``_stage_fields_slim``.
-
-    Two designs were measured and rejected before this one
-    (2026-08-21, on chip):
-
-    * fori_loop + full ``_stage_derivs`` jaxpr replay -- the stacked
-      [seeds, dims, SUB, 128] autodiff intermediates blew Mosaic's 16 MB
-      scoped-vmem stack (33-74 MB demanded, roughly constant in N).
-    * grid-over-stages (grid = (B-blocks, N), per-stage in/out blocks,
-      carry in scratch) -- compiled and matched (3.6e-6) but paid ~24 us
-      PER GRID STEP (9.5 ms total at the headline shape vs 0.31 ms for
-      the sweep-fed fused kernel): per-step pipeline overhead dwarfs the
-      sub-us of useful work, and the reversed (N-1-j) index maps defeat
-      the revolving-window prefetcher.
-    """
+                       N: int, SUB: int, boxed: bool, groups):
+    """Streaming layout of ``ddp_backward_pallas._make_kernel``: manual
+    double-buffered per-stage DMA of (x_i, u_i) inside one fori_loop
+    program, fields tile-interpreted in-kernel."""
     dt = float(problem.dt)
 
-    def kernel(*refs):
-        (xs_hbm, us_hbm, VxT_ref, VxxT_ref, lam_ref, t0_ref) = refs[:6]
-        const_refs = refs[6:6 + n_consts]
-        (ks_ref, Ks_ref, dV_ref, ok_ref, x_s, u_s, sems) = refs[6 + n_consts:]
-
+    def kernel(xs_hbm, us_hbm, VxT_ref, VxxT_ref, lam_ref, t0_ref,
+               ks_ref, Ks_ref, dV_ref, ok_ref, x_s, u_s, sems):
         g = pl.program_id(0)
         b0 = g * SUB
         lam = lam_ref[:, :]
         t0 = t0_ref[0, 0]
-        consts = [c[...] for c in const_refs]   # loop-invariant VMEM reads
+        dtype = lam.dtype
+        ctx = _Ctx()   # shared CSE memo: primals unify across jvp columns
 
         def stage_dmas(slot, i):
             return [
@@ -352,9 +330,10 @@ def _make_kernel_remat(problem, config: DDPConfig, nx: int, nu: int,
 
             # same fp32 ops as the sweep's t0 + dt * arange(N)
             t_i = t0 + jnp.float32(dt) * i.astype(jnp.float32)
-            fields = _stage_fields_slim(problem, config, fns, offsets,
-                                        consts, t_i, x_s[slot], u_s[slot],
-                                        nx, nu, boxed)
+            x_t = [x_s[slot, a] for a in range(nx)]
+            u_t = [u_s[slot, a] for a in range(nu)]
+            fields = _stage_fields_tile(problem, groups, ctx, t_i, x_t,
+                                        u_t, nx, nu, boxed, dtype)
             if boxed:
                 new_carry, kvec, K = _riccati_stage_boxed(
                     config, nx, nu, lam, zeros, fields, carry)
@@ -381,27 +360,15 @@ def _make_kernel_remat(problem, config: DDPConfig, nx: int, nu: int,
 def _backward_remat_call(problem, config: DDPConfig, nx, nu, N, boxed,
                          xs, us, VxT, VxxT, lam, t0):
     """xs [N+1, nx, B4, 128] (stage N's terminal state rides along unused
-    -- passing the full array avoids a slice copy), us [N, nu, B4, 128],
+    — passing the full array avoids a slice copy), us [N, nu, B4, 128],
     VxT [nx, B4, 128], VxxT [nx, nx, B4, 128], lam [B4, 128], t0 scalar."""
     B4 = lam.shape[0]
     dtype = xs.dtype
-    fns, offsets, consts = _hoist_groups(problem, config, boxed, nx, nu,
-                                         jnp.dtype(dtype).name)
-    # SUB is capped at one native sublane tile (8): Mosaic compile time on
-    # the remat body explodes super-linearly in the block height (measured
-    # 2026-08-21: SUB=1 compiles in 15 s, SUB=32 did not finish in 10 min
-    # at the SAME horizon).  The VMEM budget still has to hold the
-    # double-buffered [N, ...] output blocks plus the slim trace's live
-    # set, so SUB degrades further for very long horizons.
-    # SUB is 8 (one native sublane tile) — the only legal choice: larger
-    # blocks blow Mosaic's compile time super-linearly (SUB=32 did not
-    # finish in 10 min; SUB=1 compiled in 15 s), smaller blocks violate
-    # the Pallas block rule (second-to-last dim divisible by 8 or equal
-    # to the array dim).  Mosaic's scoped-vmem stack allocates one slot
-    # per live trace value (no aggressive reuse), so the body is kept
-    # slim: linearized dynamics tangents, direct tiny-Hessian calls for
-    # quadratic costs (2026-08-21: the pre-cut body measured 16.87 MB at
-    # this shape, 888 KB over the 16 MB limit; the cuts brought it under).
+    groups = _hoist_groups(problem, nx, nu, boxed, jnp.dtype(dtype).name)
+    # SUB = one native sublane tile (8): larger blocks blow Mosaic compile
+    # time super-linearly (measured: SUB=32 >10 min, SUB=1 15 s on the
+    # vmapped body; the tile-interpreted body compiles fast but 8 keeps
+    # the VMEM window small), smaller violates the Pallas block rule.
     SUB = min(8, B4)
     while B4 % SUB != 0:
         SUB //= 2
@@ -415,7 +382,7 @@ def _backward_remat_call(problem, config: DDPConfig, nx, nu, N, boxed,
                             memory_space=pltpu.VMEM)
 
     kernel = _make_kernel_remat(problem, config, nx, nu, N, SUB, boxed,
-                                fns, offsets, len(consts))
+                                groups)
     out_shape = (
         jax.ShapeDtypeStruct((N, nu, B4, 128), dtype),
         jax.ShapeDtypeStruct((N, nu, nx, B4, 128), dtype),
@@ -423,22 +390,14 @@ def _backward_remat_call(problem, config: DDPConfig, nx, nu, N, boxed,
         jax.ShapeDtypeStruct((B4, 128), jnp.float32),
     )
     out_specs = (vspec(N, nu), vspec(N, nu, nx), vspec(2), vspec())
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2 + [
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * 2 + [
         vspec(nx), vspec(nx, nx), vspec(),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-    ] + [vspec(*c.shape) for c in consts]
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     scratch = [
         pltpu.VMEM((2, nx, SUB, 128), dtype),   # x_i
         pltpu.VMEM((2, nu, SUB, 128), dtype),   # u_i
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
-
-    # model constants, lane-broadcast (loop-invariant; XLA hoists the
-    # broadcasts out of the solve's while_loop)
-    consts_b = [jnp.broadcast_to(
-                    jnp.asarray(c).reshape(jnp.shape(c) + (1, 1)),
-                    jnp.shape(c) + (B4, 128))
-                for c in consts]
 
     ks, Ks, dV, okf = pl.pallas_call(
         kernel,
@@ -447,10 +406,15 @@ def _backward_remat_call(problem, config: DDPConfig, nx, nu, N, boxed,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        # XLA promotes this call's operands+results into scoped vmem when
+        # they fit (measured: exactly operands+results = 16.87 MB at the
+        # headline shape against the default 16 MB scoped limit).  Raising
+        # the limit admits the promotion — I/O served from VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(xs, us, VxT, VxxT, lam,
-      jnp.reshape(t0, (1, 1)).astype(jnp.float32), *consts_b)
+      jnp.reshape(t0, (1, 1)).astype(jnp.float32))
     return ks, Ks, dV, okf
-
 
 
 def backward_remat(problem, config: DDPConfig, t0, xs, us, Vx_T, Vxx_T,

@@ -719,7 +719,10 @@ def _forward_selected_lanes(problem, config, t0, xs_l, us_l, ks_l, Ks_l,
 # Whether backward_impl="auto" may select the whole-iteration remat kernel
 # (flipped per the project's kernel discipline: interpreter parity test ->
 # on-chip parity gate entry -> measured win -> THEN the default changes).
-_AUTO_REMAT = False
+# Round 5: flipped after the tileval kernel measured 0.542 ms vs 1.27 ms
+# for sweep+fused-backward at the headline shape (parity 3.6e-6, gate
+# entry ddp_remat in benchmarks/parity_gate.py).
+_AUTO_REMAT = True
 
 
 def _resolve_backward_impl(config: DDPConfig, problem: Problem, B: int,
@@ -758,7 +761,11 @@ def _resolve_backward_impl(config: DDPConfig, problem: Problem, B: int,
     if boxed:
         eligible = eligible and problem.input_dim <= 4
     if _AUTO_REMAT and eligible and config.deriv_dtype == "same":
-        return "remat"
+        from nmpc_tpu.kernels.ddp_backward_remat import remat_supported
+
+        if remat_supported(problem, problem.state_dim, problem.input_dim,
+                           boxed):
+            return "remat"
     return "pallas" if eligible else "stacked"
 
 
