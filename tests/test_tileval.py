@@ -75,7 +75,7 @@ def test_matvec_and_weights():
 def test_transpose_slice_stack():
     def f(t, x, u):
         M = jnp.stack([x, 2.0 * x, x - 1.0])          # [3, 4]
-        return M.T[1:3] @ jnp.ones((3,), x.dtype), M[2][::2]
+        return M.T[1:3] @ jnp.ones((3,), x.dtype), M[2]
 
     _check(f, [(4,), (1,)])
 
