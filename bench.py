@@ -42,8 +42,19 @@ def main():
 
         try:
             parity = run_parity_gate()
-        except Exception as e:  # noqa: BLE001 — never mask the perf number
+        except Exception as e:  # noqa: BLE001
             parity = {"pass": False, "error": repr(e)[:300]}
+        if not parity.get("pass", False):
+            # STRUCTURAL gate (VERDICT r4 weak #3): a red parity gate
+            # refuses the headline — no perf number is printed and the
+            # process exits nonzero, so a divergent default kernel fails
+            # the round loudly instead of hiding in a JSON field.
+            print(json.dumps({
+                "metric": "ddp_cartpole_solves_per_s_per_chip",
+                "error": "parity gate FAILED — headline refused",
+                "parity": parity,
+            }))
+            raise SystemExit(1)
 
     # BASELINE.json config #1: cart-pole swing-up, horizon 100.
     problem = make_cartpole_problem(0.01)

@@ -66,11 +66,12 @@ TOL_FMPC = 2e-4
 # total costs agree to ~1e-6 relative (both paths equally optimal); u
 # itself drifts in the documented iterated-fp32 chaos class on
 # not-yet-converged lanes (measured normalized max|du|/(1+max|u|):
-# unconstrained 1.4e-3 at 10 iters with |u| up to 90, boxed 2e-8-class at
-# 3 iters).  Tolerances carry ~7x headroom on u and ~100x on cost.
+# unconstrained 1.4e-3 at 10 iters with |u| up to 90, boxed 8e-7 at
+# 3 iters; converged-lane FMPC 2.4e-5).  Tolerances carry ~7x headroom
+# on u and ~100x on cost.
 TOL_E2E_DDP_U_NORM = 1e-2
 TOL_E2E_DDP_COST_REL = 1e-4
-TOL_E2E_FMPC_U = 1e-4
+TOL_E2E_FMPC_U = 2e-4
 
 
 def _ddp_unconstrained_case(B=4096, N=100):
@@ -267,7 +268,13 @@ def _e2e_fmpc():
     t0 = jnp.float32(0.0)
     res = {}
     for impl in ("pallas", "stacked"):
-        c = FmpcConfig(horizon_steps=N, max_iter=5, backward_impl=impl,
+        # kkt_error_thre=1e-2: the fp32 KKT floor for this problem scale
+        # is ~7e-3 (measured: the default 1e-4 is unreachable — 0/512
+        # SUCCEEDED at any iteration budget; at 1e-2, 512/512 converge),
+        # so this is the threshold at which the converged-lane contract
+        # actually bites
+        c = FmpcConfig(horizon_steps=N, max_iter=10, backward_impl=impl,
+                       kkt_error_thre=1e-2,
                        init_complementary_variable=True)
         res[impl] = FmpcSolver(p, c).solve_batch(t0, x0s, vars_b, eps0)
     a, b = res["pallas"], res["stacked"]
