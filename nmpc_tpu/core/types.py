@@ -110,30 +110,29 @@ class DDPConfig:
     # Forward line-search evaluation strategy for the batched solve path
     # (identical accept decisions in all modes — the reference's serial
     # first-accept loop, DDPSolver.hpp:242-265):
+    # "auto"  = adaptive (default): per-iteration lax.cond between head
+    #           and sweep driven by an accept-history hysteresis
+    #           predictor (try head iff the last ``ls_auto_hysteresis``
+    #           consecutive iterations had every running lane accept
+    #           alpha[0]).  Measured reps=40 on chip (2026-08-21, remat
+    #           backward): headline 1,323k vs 1,328k best-static (0.4%),
+    #           bipedal 124k vs 130k best-static (4.5%; round-4 gap 8%).
     # "head"  = materialize the alpha[0] rollout first and sweep the
     #           remaining alphas only (lax.cond) when some running lane
-    #           rejects it — 1 forward scan/iteration when full steps
-    #           accept (643k -> 1,066k solves/s at the headline config;
-    #           the all-alphas sweep was 0.351 ms of the 0.675 ms
-    #           iteration), 3 when someone backtracks;
+    #           rejects it — 1 scan when full steps accept, 3 when
+    #           someone backtracks;
     # "sweep" = cost-only sweep of ALL alphas every iteration (always 2
-    #           scans) — best when some lane backtracks nearly every
-    #           iteration (bipedal N=300: 134k vs 90k solves/s; warm-
-    #           started 256-controller closed loop: 1.15 vs 3.55 ms p99);
-    # "auto"  = adaptive (default): per-iteration lax.cond driven by an
-    #           accept-history predictor — try the head path iff the last
-    #           ``ls_auto_hysteresis`` consecutive iterations had every
-    #           running lane accept alpha[0].  Full-step workloads settle
-    #           on head immediately (optimistic init); backtracking
-    #           workloads stop paying failed head attempts after one
-    #           reject and need a sustained accept run to switch back.
+    #           scans) — competitive only when lanes backtrack DEEP into
+    #           the schedule nearly every iteration (bipedal N=300);
+    # "serial" = the reference's serial early-exit loop batched as a
+    #           while_loop over alphas — measured negative result (slower
+    #           on every workload: per-trip trajectory-buffer copies,
+    #           max-depth scans), kept opt-in for apples-to-apples
+    #           comparison with the reference's cost model.
     ls_mode: str = "auto"
     # Consecutive all-lanes-accept-alpha[0] iterations required before the
-    # "auto" predictor tries the head path again after a reject.  1 =
-    # round-4's one-step predictor.  2 (default) measured on chip
-    # (2026-08-21): bipedal N=300 within ~2% of static sweep (r4 gap: 8%)
-    # with the headline unchanged — isolated full-step iterations inside a
-    # backtracking phase no longer trigger 3-scan head attempts.
+    # "auto" predictor tries the head path again after a reject (1 =
+    # round-4's one-step predictor).
     ls_auto_hysteresis: int = 2
     # Max backward-pass lambda-retry attempts per iteration. The reference
     # retries unboundedly until lambda > lambda_max (DDPSolver.hpp:191-209);
@@ -155,10 +154,10 @@ class DDPConfig:
             raise ValueError(
                 f"DDPConfig.deriv_dtype must be one of 'same', 'float32', "
                 f"'float64'; got {self.deriv_dtype!r}")
-        if self.ls_mode not in ("auto", "head", "sweep"):
+        if self.ls_mode not in ("auto", "serial", "head", "sweep"):
             raise ValueError(
-                f"DDPConfig.ls_mode must be one of 'auto', 'head', "
-                f"'sweep'; got {self.ls_mode!r}")
+                f"DDPConfig.ls_mode must be one of 'auto', 'serial', "
+                f"'head', 'sweep'; got {self.ls_mode!r}")
 
     def for_fp32(self, cost_scale: float = 1e3) -> "DDPConfig":
         """fp32-calibrated termination thresholds (SURVEY §7 "fp precision").

@@ -924,13 +924,7 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
         lam=jnp.full((B,), config.initial_lambda, dtype),
         dlam=jnp.full((B,), config.initial_dlambda, dtype),
         # optimistic init (counts as a full accept history): iteration 1
-        # tries the 1-scan head path.  Wins for one-shot batch solving
-        # (headline 1.074M vs 0.985M with a pessimistic init); for
-        # warm-started latency-bound tick loops the adaptive cond
-        # machinery itself is the cost (measured ~2.8 ms p99 with EITHER
-        # init vs 1.15 ms pure sweep at 256 controllers), so
-        # mpc/closed_loop defaults those to ls_mode="sweep" instead of
-        # tuning this flag.
+        # tries the 1-scan head path
         ls_consec=jnp.int32(max(1, config.ls_auto_hysteresis)),
         trace=trace,
     )
@@ -994,32 +988,14 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                      & (lam < config.lambda_thre))
         status = jnp.where(term_grad, jnp.int32(DDPStatus.SUCCEEDED), status)
 
-        # Step 3 (round 4 redesign): ADAPTIVE forward line search (same
-        # accept decisions in every mode — the reference's serial
-        # first-accept loop, DDPSolver.hpp:242-265).  Two execution paths:
-        #
-        #  head path:  materialize the alpha[0] rollout once (doubling as
-        #              the accepted trajectory); sweep the remaining alphas
-        #              + re-roll per-lane only (lax.cond) when some running
-        #              lane rejects alpha[0].  1 scan when everyone accepts
-        #              (the r1-r3 design paid 2 every iteration — the
-        #              all-alphas sweep alone was 0.351 ms of the 0.675 ms
-        #              headline iteration, tools/profile_solve_phases.py),
-        #              3 when someone backtracks.
-        #  sweep path: the r1-r3 design — cost-only sweep of ALL alphas in
-        #              one scan + one re-rollout: always 2 scans.
-        #
-        # ls_mode="auto" picks PER ITERATION with an accept-history
-        # predictor (round 5: hysteresis — VERDICT r4 weak #6): try the
-        # head path iff the last ``ls_auto_hysteresis`` consecutive
-        # iterations had every running lane accept alpha[0].  Workloads
-        # that take full steps (large-batch offline solving: measured
-        # 643k -> 1,066k solves/s at the headline config) stay on the
-        # head path; workloads where some lane backtracks nearly every
-        # iteration (bipedal N=300) settle on the sweep path after one
-        # reject and no longer pay a failed 3-scan head attempt for every
-        # isolated full-step iteration.  "head"/"sweep" force a path
-        # statically.
+        # Step 3: forward line search (identical accept decisions in
+        # every mode — the reference's serial first-accept loop,
+        # DDPSolver.hpp:242-265).  Default "auto" = per-iteration
+        # lax.cond between head_path and sweep_path driven by an
+        # accept-history hysteresis predictor (round 5; measured reps=40:
+        # auto within 0.4% of the best static mode on the headline and
+        # 4.5% on bipedal, r4 gap 8%).  See DDPConfig.ls_mode for the
+        # mode inventory incl. the serial_path negative result.
         cost_old = flat(jnp.sum(s.costs, axis=0))                  # [B]
         expected = -alphas[:, None] * (dV[0][None, :]
                                        + alphas[:, None] * dV[1][None, :])
@@ -1084,12 +1060,73 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                 t0, s.xs, s.us, ks, Ks, lanes(alphas[out[0]]))
             return (sel_xs, sel_us, sel_costs) + out
 
+        def serial_path(_):
+            """The reference's serial early-exit alpha loop
+            (DDPSolver.hpp:242-265), batched: a while_loop walks the
+            schedule; each trip rolls ONE alpha out fully (trajectory
+            included) and still-searching lanes where-select it on their
+            first accept.  Accept decisions are bit-identical to the
+            other modes (the per-trip cost sum comes from f_sel's in-scan
+            cdtype accumulator — the same values the sweep compares).
+
+            MEASURED NEGATIVE RESULT (2026-08-21, reps=40 on chip, kept
+            as an opt-in mode): cart-pole headline 1.05M vs 1.33M for
+            head/auto (the while_loop's per-trip where-updates copy the
+            full candidate trajectory buffers), bipedal N=300 24k vs 130k
+            sweep (deep backtracking pays max-first-accept-depth full
+            scans).  The hysteresis auto predictor dominates it on every
+            measured workload; the mode stays because it is the only
+            search whose cost model matches the reference's serial loop
+            exactly, which makes it useful for apples-to-apples
+            comparisons.
+            """
+            ex_w = expected.astype(wdtype)                         # [A, B]
+
+            def cond_fn(st):
+                k = st[0]
+                accepted = st[2]
+                return (k < A) & jnp.any(do_forward & ~accepted)
+
+            def body_fn(st):
+                (k, idx, accepted, sxs, sus, scosts, act, exp_, rat) = st
+                alpha_k = alphas[k]
+                c_xs, c_us, c_costs, c_sum = f_sel(
+                    t0, s.xs, s.us, ks, Ks,
+                    jnp.full(s.xs.shape[-2:], alpha_k))
+                actual_k = (cost_old - flat(c_sum)).astype(wdtype)
+                ratio_k = ratio_of(actual_k, ex_w[k])
+                acc_k = ratio_k > config.cost_update_ratio_thre    # [B]
+                rec = do_forward & ~accepted     # still-searching lanes
+                rec_sl = lanes(rec)
+                sxs = jnp.where(rec_sl, c_xs, sxs)
+                sus = jnp.where(rec_sl, c_us, sus)
+                scosts = jnp.where(rec_sl, c_costs, scosts)
+                act = jnp.where(rec, actual_k, act)
+                exp_ = jnp.where(rec, expected[k], exp_)
+                rat = jnp.where(rec, ratio_k, rat)
+                idx = jnp.where(rec, k, idx)
+                return (k + 1, idx, accepted | (rec & acc_k), sxs, sus,
+                        scosts, act, exp_, rat)
+
+            z = jnp.zeros((B,), wdtype)
+            st0 = (jnp.int32(0), jnp.full((B,), A - 1, jnp.int32),
+                   jnp.zeros((B,), bool), s.xs, s.us, s.costs,
+                   z, jnp.zeros((B,), dtype), z)
+            (_, idx, accepted, sxs, sus, scosts, act, exp_, rat) = (
+                lax.while_loop(cond_fn, body_fn, st0))
+            fw_success = accepted
+            all_a0 = ~jnp.any(do_forward & ~(accepted & (idx == 0)))
+            return (sxs, sus, scosts, idx, fw_success, act, exp_, rat,
+                    all_a0)
+
         if A <= 1:
             ls_out = head_path(None)
         elif config.ls_mode == "head":
             ls_out = head_path(None)
         elif config.ls_mode == "sweep":
             ls_out = sweep_path(None)
+        elif config.ls_mode == "serial":
+            ls_out = serial_path(None)
         else:  # adaptive: accept-history hysteresis carried across iters
             h = max(1, config.ls_auto_hysteresis)
             ls_out = lax.cond(s.ls_consec >= h, head_path, sweep_path,

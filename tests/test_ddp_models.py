@@ -138,10 +138,10 @@ def test_ls_modes_identical_results():
                       + 0.1 * rng.normal(size=(B, 4)))
     us0 = jnp.zeros((B, 40, 1))
     results = {}
-    for mode in ("auto", "head", "sweep"):
+    for mode in ("auto", "serial", "head", "sweep"):
         solver = DDPSolver(problem, dataclasses.replace(base, ls_mode=mode))
         results[mode] = solver.solve_batch(0.0, x0s, us0)
-    for mode in ("head", "sweep"):
+    for mode in ("serial", "head", "sweep"):
         r, r0 = results[mode], results["auto"]
         assert np.array_equal(np.asarray(r.status), np.asarray(r0.status))
         assert np.array_equal(np.asarray(r.iters), np.asarray(r0.iters))
@@ -176,10 +176,10 @@ def test_ls_modes_identical_results_fp32():
                        + 0.1 * rng.normal(size=(B, 4))).astype(np.float32))
     us0 = jnp.zeros((B, 40, 1), jnp.float32)
     results = {}
-    for mode in ("auto", "head", "sweep"):
+    for mode in ("auto", "serial", "head", "sweep"):
         solver = DDPSolver(problem, dataclasses.replace(base, ls_mode=mode))
         results[mode] = solver.solve_batch(jnp.float32(0.0), x0s, us0)
-    for mode in ("head", "sweep"):
+    for mode in ("serial", "head", "sweep"):
         r, r0 = results[mode], results["auto"]
         assert r.us.dtype == jnp.float32
         assert np.array_equal(np.asarray(r.status), np.asarray(r0.status))
