@@ -70,7 +70,10 @@ def main():
     us0 = jnp.zeros((B, 100, 1), jnp.float32)
     t0 = jnp.float32(0.0)
 
-    t = device_time_min(solver.solve_batch, t0, x0s, us0, reps=6, trials=3)
+    # reps=24: at >1M solves/s a 6-rep window (~19 ms) is smaller than the
+    # ~23 ms tunnel RTT being subtracted and produced ±50% outliers
+    # (BENCH_RESULTS.md round-5 methodology note); 24 reps ≈ 75 ms.
+    t = device_time_min(solver.solve_batch, t0, x0s, us0, reps=24, trials=3)
     solves_per_s = B / t
     out = {
         "metric": "ddp_cartpole_solves_per_s_per_chip",

@@ -22,13 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(fn, n=6):
+def _timeit(fn, n=24):
     """Fetch-fenced device time (see benchmarks/timing.py for why
     ``jax.block_until_ready`` cannot be trusted through the device tunnel).
 
     ``n`` must be large enough that n * device_time >> the ~20-25 ms tunnel
     round trip being subtracted, or the measurement is RTT-noise-dominated —
-    sub-ms benchmarks need n in the hundreds."""
+    round 5 measured ±50% outliers on >1M-solves/s rows at n=6 (a ~12-19 ms
+    work window vs the 23 ms RTT); n=24 keeps every current row's window
+    >= ~50 ms."""
     from benchmarks.timing import device_time_min
 
     return device_time_min(fn, reps=n, trials=3)

@@ -760,7 +760,13 @@ def _resolve_backward_impl(config: DDPConfig, problem: Problem, B: int,
                 and jax.default_backend() == "tpu")
     if boxed:
         eligible = eligible and problem.input_dim <= 4
-    if _AUTO_REMAT and eligible and config.deriv_dtype == "same":
+    # remat additionally needs B >= 1024: its SUB=8 blocks need B4 >= 8
+    # for full sublane utilization — at B=256 (tick loops) SUB degrades
+    # to 2 and the compute-bound body runs at 1/4 VPU efficiency
+    # (measured: 256-controller p99 tick 1.67 ms via remat vs 1.11 ms
+    # via the sweep-fed pallas kernel).
+    if (_AUTO_REMAT and eligible and B >= 1024
+            and config.deriv_dtype == "same"):
         from nmpc_tpu.kernels.ddp_backward_remat import remat_supported
 
         if remat_supported(problem, problem.state_dim, problem.input_dim,

@@ -86,6 +86,15 @@ res["derivative_sweep_ms"] = chain(
 res["backward_pallas_ms"] = chain(
     lambda d: backward_pallas(config, Dst, VxT_f, VxxT_f, lam + d),
     lambda o: o[0][0, 0, 0]) * 1e3
+# round 5: the whole-iteration remat kernel REPLACES sweep+backward
+from nmpc_tpu.kernels.ddp_backward_remat import backward_remat
+
+xs_f = flat(xs_l)
+us_f = flat(us_l)
+res["backward_remat_ms"] = chain(
+    lambda d: backward_remat(problem, config, t0, xs_f, us_f, VxT_f,
+                             VxxT_f, lam + d),
+    lambda o: o[0][0, 0, 0]) * 1e3
 res["forward_costs_ms"] = chain(
     lambda d: Dmod._forward_costs_lanes(problem, config, t0, xs_l + d, us_l,
                                         ks_l, Ks_l),
@@ -95,9 +104,12 @@ res["forward_selected_ms"] = chain(
                                            us_l, ks_l, Ks_l, alpha_l),
     lambda o: o[0][1, 0, 0, 0]) * 1e3
 
-per_iter = (res["derivative_sweep_ms"] + res["backward_pallas_ms"]
+per_iter = (res["backward_remat_ms"]
             + res["forward_costs_ms"] + res["forward_selected_ms"])
 res["sum_per_iteration_ms"] = per_iter
+res["sum_per_iteration_sweepfed_ms"] = (
+    res["derivative_sweep_ms"] + res["backward_pallas_ms"]
+    + res["forward_costs_ms"] + res["forward_selected_ms"])
 
 solver = DDPSolver(problem, config)
 t_solve = device_time_min(solver.solve_batch, t0, x0s, us0, reps=6)
