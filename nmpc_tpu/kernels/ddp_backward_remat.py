@@ -365,11 +365,15 @@ def _backward_remat_call(problem, config: DDPConfig, nx, nu, N, boxed,
     B4 = lam.shape[0]
     dtype = xs.dtype
     groups = _hoist_groups(problem, nx, nu, boxed, jnp.dtype(dtype).name)
-    # SUB = one native sublane tile (8): larger blocks blow Mosaic compile
-    # time super-linearly (measured: SUB=32 >10 min, SUB=1 15 s on the
-    # vmapped body; the tile-interpreted body compiles fast but 8 keeps
-    # the VMEM window small), smaller violates the Pallas block rule.
-    SUB = min(8, B4)
+    # SUB = one native sublane tile (8): larger blocks blew Mosaic compile
+    # time super-linearly on the VMAPPED body (SUB=32 >10 min, SUB=1 15 s);
+    # the tile-interpreted body compiles fine at 16 and measures parity,
+    # but end-to-end SUB=16 is speed-neutral (1.369M vs 1.366M solves/s,
+    # reps=40 — the forward scans dominate the iteration now), so 8 stays
+    # the default (smaller VMEM window).  NMPC_REMAT_SUB overrides.
+    import os
+
+    SUB = min(int(os.environ.get("NMPC_REMAT_SUB", "8")), B4)
     while B4 % SUB != 0:
         SUB //= 2
     grid = (B4 // SUB,)
