@@ -336,6 +336,29 @@ def run_parity_gate() -> dict:
                         jnp.moveaxis(us, 0, -1), VxT, VxxT, lam)
     _cmp("ddp_remat", o1, o3, TOL_DDP_UNCONSTRAINED)
 
+    # fused forward line-search rollout (round 5 default alongside remat):
+    # trajectory + in-order cost sum vs the lax.scan path, same headline
+    # shape, driven by the remat backward's gains
+    from nmpc_tpu.kernels.ddp_forward_remat import forward_selected_remat
+    from nmpc_tpu.kernels.lanes import block_lanes as _bl, lane_factors as _lf
+    ks_r, Ks_r = o3[0], o3[1]                       # [N, nu, B], [N, nu, nx, B]
+    Sh, Lh = _lf(B)
+    lb = lambda a: _bl(a, -1, Sh, Lh)               # [.., B] -> [.., S, L]
+    alpha_l = jnp.full((Sh, Lh), 1.0, jnp.float32)
+    of1 = Dmod._forward_selected_lanes(
+        p, c, jnp.float32(0.0), lb(jnp.moveaxis(xs, 0, -1)),
+        lb(jnp.moveaxis(us, 0, -1)), lb(ks_r), lb(Ks_r), alpha_l)
+    of2 = forward_selected_remat(
+        p, c, jnp.float32(0.0), jnp.moveaxis(xs, 0, -1),
+        jnp.moveaxis(us, 0, -1), ks_r, Ks_r, jnp.full((B,), 1.0, jnp.float32))
+    flat_sl = lambda a: a.reshape(a.shape[:-2] + (B,))
+    errs = _norm_errs([flat_sl(jnp.asarray(x)) for x in of1],
+                      list(of2), ("xs", "us", "costs", "cost_sum"))
+    err = max(errs.values())
+    out["ddp_forward"] = {"errs": errs, "max_err": err,
+                          "tol": TOL_DDP_UNCONSTRAINED,
+                          "pass": bool(err <= TOL_DDP_UNCONSTRAINED)}
+
     c, Dst, bounds, VxT, VxxT, lam = _ddp_boxed_case()
     o1 = backward_stacked_boxed(c, Dst, bounds, VxT, VxxT, lam)
     _cmp("ddp_boxed", o1,

@@ -130,6 +130,18 @@ class DDPConfig:
     #           max-depth scans), kept opt-in for apples-to-apples
     #           comparison with the reference's cost model.
     ls_mode: str = "auto"
+    # How the line-search rollouts themselves are evaluated (orthogonal to
+    # ls_mode, which decides WHICH alphas get evaluated):
+    # "auto"  = fused Pallas rollout kernels (kernels/ddp_forward_remat.py:
+    #           per-stage refs streamed from HBM, dynamics/cost/terminal
+    #           tile-interpreted in-kernel) whenever the backward resolved
+    #           to "remat" and the rollout callables are tile-supported;
+    #           scan otherwise.  The sweep variant runs the identical
+    #           stage body as the selected-alpha variant, so accept
+    #           decisions stay consistent across ls_modes.
+    # "fused" = force the fused kernels (asserts eligibility);
+    # "scan"  = always the lax.scan paths (round-4 behavior).
+    forward_impl: str = "auto"
     # Consecutive all-lanes-accept-alpha[0] iterations required before the
     # "auto" predictor tries the head path again after a reject (1 =
     # round-4's one-step predictor).
@@ -158,6 +170,10 @@ class DDPConfig:
             raise ValueError(
                 f"DDPConfig.ls_mode must be one of 'auto', 'serial', "
                 f"'head', 'sweep'; got {self.ls_mode!r}")
+        if self.forward_impl not in ("auto", "fused", "scan"):
+            raise ValueError(
+                f"DDPConfig.forward_impl must be one of 'auto', 'fused', "
+                f"'scan'; got {self.forward_impl!r}")
 
     def for_fp32(self, cost_scale: float = 1e3) -> "DDPConfig":
         """fp32-calibrated termination thresholds (SURVEY §7 "fp precision").

@@ -107,6 +107,15 @@ def _hoist(problem, which: str, nx: int, nu: int, dtype_name: str):
     elif which == "cost_derivs":
         f = problem.running_cost_derivs
         avals = (t_av, x_av, u_av)
+    elif which == "dyn":
+        f = problem.dynamics
+        avals = (t_av, x_av, u_av)
+    elif which == "cost":
+        f = problem.running_cost
+        avals = (t_av, x_av, u_av)
+    elif which == "term":
+        f = problem.terminal_cost
+        avals = (t_av, x_av)
     elif which == "aux":
         # mask + box bounds, mirrors solvers/ddp.py::_stage_derivs
         def f(t, x, u):

@@ -325,12 +325,108 @@ def test_remat_solve_end_to_end(interpret_pallas):
     r_st = DDPSolver(problem, dataclasses.replace(
         base, backward_impl="stacked")).solve_batch(
             jnp.float32(0.0), x0s, us0)
+    # forward_impl pinned to "scan" so this comparison isolates the
+    # BACKWARD delta (the fused-forward delta has its own e2e test,
+    # test_forward_fused_solve_end_to_end)
     r_rm = DDPSolver(problem, dataclasses.replace(
-        base, backward_impl="remat")).solve_batch(
+        base, backward_impl="remat", forward_impl="scan")).solve_batch(
             jnp.float32(0.0), x0s, us0)
     assert bool(jnp.all(r_st.status == r_rm.status))
     assert bool(jnp.all(r_st.iters == r_rm.iters))
     np.testing.assert_allclose(np.asarray(r_rm.us), np.asarray(r_st.us),
+                               atol=1e-5)
+
+
+def test_forward_remat_matches_scan(interpret_pallas):
+    """Fused forward line-search kernels (kernels/ddp_forward_remat.py)
+    vs the lax.scan paths: the kernels evaluate the same dynamics / cost
+    traces on the same (x, u) values via the tile interpreter, so
+    trajectories, per-stage costs, and in-order cost sums agree at
+    fp-reassociation level.  Both variants (per-lane selected alpha and
+    static-schedule sweep) are pinned here."""
+    from nmpc_tpu.core.types import DDPConfig
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+    from nmpc_tpu.solvers import ddp as D
+    from nmpc_tpu.kernels.ddp_forward_remat import (
+        forward_costs_remat, forward_remat_supported, forward_selected_remat)
+    from nmpc_tpu.kernels.lanes import block_lanes, lane_factors
+
+    p = make_cartpole_problem(0.01)
+    c = DDPConfig(horizon_steps=12, max_iter=10)
+    B = 256
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.05 * rng.normal(size=(B, 4))).astype(np.float32))
+    us = jnp.asarray(rng.normal(size=(B, 12, 1)).astype(np.float32) * 0.2)
+    t0 = jnp.float32(0.3)   # nonzero so the in-kernel t_i recompute bites
+    S_, L_ = lane_factors(B)
+    xs_l, _ = D._rollout_lanes(p, c, t0, block_lanes(x0s, 0, S_, L_),
+                               block_lanes(us, 0, S_, L_))
+    us_l = block_lanes(us, 0, S_, L_)
+    ks_l = jnp.asarray(rng.normal(size=(12, 1, S_, L_)).astype(np.float32)
+                       * 0.1)
+    Ks_l = jnp.asarray(rng.normal(size=(12, 1, 4, S_, L_)).astype(np.float32)
+                       * 0.1)
+    alpha_l = jnp.asarray(
+        rng.uniform(0.1, 1.0, size=(S_, L_)).astype(np.float32))
+    flat = lambda a: a.reshape(a.shape[:-2] + (B,))
+
+    assert forward_remat_supported(p, 4, 1)
+    o1 = D._forward_selected_lanes(p, c, t0, xs_l, us_l, ks_l, Ks_l, alpha_l)
+    o2 = forward_selected_remat(p, c, t0, flat(xs_l), flat(us_l),
+                                flat(ks_l), flat(Ks_l), flat(alpha_l))
+    for a, b, tol in zip(o1, o2, (1e-5, 1e-5, 1e-5, 2e-5)):
+        np.testing.assert_allclose(np.asarray(flat(jnp.asarray(a))),
+                                   np.asarray(b), atol=tol)
+
+    c1 = D._forward_costs_lanes(p, c, t0, xs_l, us_l, ks_l, Ks_l)
+    c2 = forward_costs_remat(p, c, t0, flat(xs_l), flat(us_l), flat(ks_l),
+                             flat(Ks_l), tuple(c.alpha_list))
+    np.testing.assert_allclose(np.asarray(flat(c1)), np.asarray(c2),
+                               atol=2e-5)
+    # the sweep variant's alpha slice equals the selected variant's sum
+    # when fed the same alpha — the cross-ls_mode accept-decision contract
+    ia = 3
+    c3 = forward_selected_remat(
+        p, c, t0, flat(xs_l), flat(us_l), flat(ks_l), flat(Ks_l),
+        jnp.full((B,), c.alpha_list[ia], jnp.float32))[3]
+    np.testing.assert_allclose(np.asarray(c2[ia]), np.asarray(c3),
+                               atol=2e-5)
+
+
+def test_forward_fused_solve_end_to_end(interpret_pallas):
+    """Full solve_batch with the fused forward kernels
+    (forward_impl='fused') vs the scan paths (forward_impl='scan'), both
+    on the remat backward, at a pre-chaos iteration budget (the
+    test_remat_solve_end_to_end pattern): statuses, iteration counts, and
+    trajectories agree tightly."""
+    import dataclasses
+    from nmpc_tpu.core.types import DDPConfig
+    from nmpc_tpu.models.cartpole import make_cartpole_problem
+    from nmpc_tpu import DDPSolver
+
+    problem = make_cartpole_problem(0.01)
+    N, B = 12, 128
+    base = DDPConfig(horizon_steps=N, max_iter=3, backward_impl="remat")
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray((np.tile([0.0, np.pi, 0.0, 0.0], (B, 1))
+                       + 0.1 * rng.normal(size=(B, 4))).astype(np.float32))
+    us0 = jnp.zeros((B, N, 1), jnp.float32)
+    r_sc = DDPSolver(problem, dataclasses.replace(
+        base, forward_impl="scan")).solve_batch(jnp.float32(0.0), x0s, us0)
+    r_fu = DDPSolver(problem, dataclasses.replace(
+        base, forward_impl="fused")).solve_batch(jnp.float32(0.0), x0s, us0)
+    assert bool(jnp.all(r_sc.status == r_fu.status))
+    assert bool(jnp.all(r_sc.iters == r_fu.iters))
+    np.testing.assert_allclose(np.asarray(r_fu.us), np.asarray(r_sc.us),
+                               atol=1e-5)
+    # ls_mode sweep through the fused kernels: same accept decisions
+    r_sw = DDPSolver(problem, dataclasses.replace(
+        base, forward_impl="fused", ls_mode="sweep")).solve_batch(
+            jnp.float32(0.0), x0s, us0)
+    assert bool(jnp.all(r_fu.status == r_sw.status))
+    assert bool(jnp.all(r_fu.iters == r_sw.iters))
+    np.testing.assert_allclose(np.asarray(r_sw.us), np.asarray(r_fu.us),
                                atol=1e-5)
 
 
@@ -354,8 +450,10 @@ def test_remat_boxed_solve_end_to_end(interpret_pallas):
     r_st = DDPSolver(problem, dataclasses.replace(
         base, backward_impl="stacked")).solve_batch(
             jnp.float32(0.0), x0s, us0)
+    # forward_impl pinned to "scan": isolate the backward delta (see
+    # test_remat_solve_end_to_end / test_forward_fused_solve_end_to_end)
     r_rm = DDPSolver(problem, dataclasses.replace(
-        base, backward_impl="remat")).solve_batch(
+        base, backward_impl="remat", forward_impl="scan")).solve_batch(
             jnp.float32(0.0), x0s, us0)
     assert bool(jnp.all(r_st.status == r_rm.status))
     assert bool(jnp.all(r_st.iters == r_rm.iters))
