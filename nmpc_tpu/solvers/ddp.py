@@ -929,7 +929,22 @@ def _solve_stacked(problem: Problem, config: DDPConfig, t0, x0s, us_init) -> DDP
                 "terminal-cost callables")
             fwd_fused = True
         else:
-            fwd_fused = fwd_ok and impl == "remat"
+            # auto: any compiled-TPU solve matching the measured win
+            # region, NOT just remat-eligible ones — unlike the remat
+            # backward (B-gated to >= 1024 because its compute-bound body
+            # degrades at SUB < 8), the forward kernel WINS HARDEST at
+            # small batch, where the lax.scan pays N sequential-step
+            # overheads on tiny ops.  End-to-end A/B (reps=40,
+            # 2026-08-21, cart-pole): B=256 N=200 2.7-2.9x, B=512 N=25
+            # 1.63x, B=512 N=50 1.26x, B=4096 N=100 1.05x, B=1024 N=100
+            # boxed 1.09x; NEUTRAL at B=128 N=100; LOSES at short
+            # horizons (B=512 N=12: 0.96x) and large-batch short-horizon
+            # (B=2048 N=25: 0.61x — the scan's per-step overhead
+            # amortizes over big tiles while the kernel pays per-stage
+            # DMA).  Rule: horizon long enough to amortize the stage
+            # DMA loop, and batch small OR horizon long.
+            fwd_fused = (fwd_ok and jax.default_backend() == "tpu"
+                         and N >= 25 and (B <= 512 or N >= 50))
     else:
         assert config.forward_impl != "fused", (
             "forward_impl='fused' requires B % 128 == 0")
