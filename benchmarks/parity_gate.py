@@ -384,6 +384,38 @@ def run_parity_gate() -> dict:
                         VxT, VxxT, lam, boxed=True)
     _cmp("ddp_remat_boxed", o1, o3, TOL_DDP_BOXED)
 
+    # fused FMPC forward delta recursion vs the scan (round 5; default for
+    # every compiled-TPU batched FMPC solve), at the serving shape, driven
+    # by real first-iteration backward outputs
+    from jax import lax as _lax
+    from nmpc_tpu.kernels.ddp_backward import _mv as _mv_
+    from nmpc_tpu.kernels.fmpc_forward_pallas import (
+        forward_fmpc_deltas_pallas)
+    from nmpc_tpu.solvers import fmpc as Fmod
+
+    pf, cf, cof, varf, gmsf, epsf = _fmpc_case(
+        make_cartpole_fmpc_problem(0.01), B=4096, N=100)
+    ksf, Ksf = Fmod._backward_bm(pf, cf, cof, varf.ss, varf.nus, gmsf,
+                                 epsf)[:2]
+    dx0f = jnp.zeros_like(varf.xs[0])
+
+    def _fstep(dx, inp):
+        A_, Bm_, x_bar, k, K = inp
+        du = _mv_(K, dx) + k
+        return _mv_(A_, dx) + _mv_(Bm_, du) + x_bar, (dx, du)
+
+    _, (dxs1, dus1) = _lax.scan(_fstep, dx0f,
+                                (cof.A, cof.B, cof.x_bar, ksf, Ksf))
+    dxT1 = (_mv_(cof.A[-1], dxs1[-1]) + _mv_(cof.B[-1], dus1[-1])
+            + cof.x_bar[-1])
+    dxs1 = jnp.concatenate([dxs1, dxT1[None]], axis=0)
+    dxs2, dus2 = forward_fmpc_deltas_pallas(cof.A, cof.B, cof.x_bar,
+                                            ksf, Ksf, dx0f)
+    errs = _norm_errs((dxs1, dus1), (dxs2, dus2), ("dxs", "dus"))
+    err = max(errs.values())
+    out["fmpc_forward"] = {"errs": errs, "max_err": err, "tol": TOL_FMPC,
+                           "pass": bool(err <= TOL_FMPC)}
+
     # FMPC kernel at the oscillator bench shape (auto serves stacked here)
     out["fmpc"] = _fmpc_kernel_check(make_oscillator_problem(0.01),
                                      B=4096, N=20, tol=TOL_FMPC)

@@ -336,12 +336,26 @@ class FmpcConfig:
     #               requires B % 128 == 0, fp32)
     #   "auto"    — pallas when eligible on TPU, stacked otherwise
     backward_impl: str = "auto"
+    # forward delta-recursion evaluation for the batched solve path
+    # (orthogonal to backward_impl):
+    #   "auto"  — fused Pallas kernel (kernels/fmpc_forward_pallas.py:
+    #             per-stage A/B/x_bar/k/K streamed from HBM, dx carry in
+    #             VMEM) on TPU with B % 128 == 0 and fp32; measured e2e
+    #             wins at every bench shape (cart-pole N=100 B=4096
+    #             +50 %, oscillator N=20 B=4096 +5 %, N=100 B=1024 +5.6 %,
+    #             2026-08-21) — scan otherwise
+    #   "fused" — force the kernel; "scan" — always the lax.scan path
+    forward_impl: str = "auto"
 
     def __post_init__(self):
         if self.backward_impl not in ("auto", "stacked", "pallas"):
             raise ValueError(
                 f"FmpcConfig.backward_impl must be one of 'auto', 'stacked', "
                 f"'pallas'; got {self.backward_impl!r}")
+        if self.forward_impl not in ("auto", "fused", "scan"):
+            raise ValueError(
+                f"FmpcConfig.forward_impl must be one of 'auto', 'fused', "
+                f"'scan'; got {self.forward_impl!r}")
 
 
 @pytree_dataclass

@@ -751,22 +751,35 @@ def _kkt_error_bm(x0_b, var: FmpcVariable, co: _StCoeffs, barrier_eps, gms):
 
 
 def _forward_bm(problem, config, co: _StCoeffs, var: FmpcVariable, x0_b,
-                ks, Ks, ss_vec, Ps, barrier_eps, gms):
+                ks, Ks, ss_vec, Ps, barrier_eps, gms, fused: bool = False):
     """Batch-minor forward recursion (``FmpcSolver.hpp:668-708``).
-    Returns (delta variable [batch-minor leaves], finite [B])."""
+    Returns (delta variable [batch-minor leaves], finite [B]).
+
+    ``fused=True`` runs the (dxs, dus) stage recursion — the only
+    sequential part — in one Pallas program per B-subblock
+    (``kernels/fmpc_forward_pallas.py``); the Δλ/Δs/Δν post-passes are
+    elementwise over the big Ps/C/D buffers and stay here (XLA fuses
+    them into single passes either way)."""
     from nmpc_tpu.kernels.ddp_backward import _mm, _mv
 
     dx0 = x0_b - var.xs[0]                                   # [nx, B]
 
-    def fstep(dx, inp):
-        A, Bm, x_bar, k, K = inp
-        du = _mv(K, dx) + k                                  # (2.36)
-        dx_next = _mv(A, dx) + _mv(Bm, du) + x_bar           # (2.26b)
-        return dx_next, (dx, du)
+    if fused:
+        from nmpc_tpu.kernels.fmpc_forward_pallas import (
+            forward_fmpc_deltas_pallas)
 
-    _, (dxs, dus) = lax.scan(fstep, dx0, (co.A, co.B, co.x_bar, ks, Ks))
-    dx_T = _mv(co.A[-1], dxs[-1]) + _mv(co.B[-1], dus[-1]) + co.x_bar[-1]
-    dxs = jnp.concatenate([dxs, dx_T[None]], axis=0)         # [N+1, nx, B]
+        dxs, dus = forward_fmpc_deltas_pallas(co.A, co.B, co.x_bar, ks,
+                                              Ks, dx0)
+    else:
+        def fstep(dx, inp):
+            A, Bm, x_bar, k, K = inp
+            du = _mv(K, dx) + k                              # (2.36)
+            dx_next = _mv(A, dx) + _mv(Bm, du) + x_bar       # (2.26b)
+            return dx_next, (dx, du)
+
+        _, (dxs, dus) = lax.scan(fstep, dx0, (co.A, co.B, co.x_bar, ks, Ks))
+        dx_T = _mv(co.A[-1], dxs[-1]) + _mv(co.B[-1], dus[-1]) + co.x_bar[-1]
+        dxs = jnp.concatenate([dxs, dx_T[None]], axis=0)     # [N+1, nx, B]
     # Δλ_i = P_i Δx_i - s_i  (2.33); Ps [N+1, nx, nx, B]
     dlams = jnp.sum(Ps * dxs[:, None, :, :], axis=2) - ss_vec
 
@@ -1027,6 +1040,22 @@ def _solve_batched(problem: Problem, config: FmpcConfig, t0, x0s,
         def backward_fn(co, ss, nus, eps):
             return _backward_bm(problem, config, co, ss, nus, gms, eps)
 
+    # forward delta-recursion kernel selection (FmpcConfig.forward_impl):
+    # unlike the backward, the fused forward wins at EVERY measured bench
+    # shape (its scan's per-stage body is a handful of mat-vecs — pure
+    # sequencing overhead): cart-pole N=100 B=4096 +50 %, oscillator
+    # N=20 B=4096 +5 %, N=100 B=1024 +5.6 % (e2e, reps>=16, 2026-08-21),
+    # so auto gates only on the kernel's hard requirements.
+    if config.forward_impl == "fused":
+        assert B % 128 == 0 and dtype == jnp.float32, (
+            "forward_impl='fused' requires B % 128 == 0 and fp32")
+        fwd_fused = True
+    elif config.forward_impl == "scan":
+        fwd_fused = False
+    else:
+        fwd_fused = (B % 128 == 0 and dtype == jnp.float32
+                     and jax.default_backend() == "tpu")
+
     def check(var, eps):
         """Barrier update + coefficients + KKT error (FmpcSolver.hpp:377-448),
         all batch-minor."""
@@ -1075,7 +1104,8 @@ def _solve_batched(problem: Problem, config: FmpcConfig, t0, x0s,
             co, var.ss, var.nus, eps)
         bw_good = bw_ok & bw_finite
         delta, fw_finite = _forward_bm(problem, config, co, var, x0_b,
-                                       ks, Ks, ss_vec, Ps, eps, gms)
+                                       ks, Ks, ss_vec, Ps, eps, gms,
+                                       fused=fwd_fused)
         new_var, up_ok = _update_bm(problem, config, t0, x0_b, co, var,
                                     delta, eps, gms)
 

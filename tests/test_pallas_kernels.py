@@ -461,6 +461,69 @@ def test_remat_boxed_solve_end_to_end(interpret_pallas):
                                atol=1e-5)
 
 
+def test_fmpc_forward_pallas_matches_scan(interpret_pallas):
+    """Fused FMPC forward delta recursion (kernels/fmpc_forward_pallas.py)
+    vs the lax.scan in _forward_bm: identical linear recursion on
+    identical coefficients — agreement at fp-reassociation level."""
+    from jax import lax
+    from nmpc_tpu.kernels.ddp_backward import _mv
+    from nmpc_tpu.kernels.fmpc_forward_pallas import (
+        forward_fmpc_deltas_pallas)
+
+    rng = np.random.default_rng(3)
+    N, nx, nu, B = 20, 4, 2, 256
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+    A, Bm, xb = f(N, nx, nx, B), f(N, nx, nu, B), f(N, nx, B)
+    ks, Ks, dx0 = f(N, nu, B), f(N, nu, nx, B), f(nx, B)
+
+    def fstep(dx, inp):
+        A_, Bm_, x_bar, k, K = inp
+        du = _mv(K, dx) + k
+        return _mv(A_, dx) + _mv(Bm_, du) + x_bar, (dx, du)
+
+    _, (dxs, dus) = lax.scan(fstep, dx0, (A, Bm, xb, ks, Ks))
+    dx_T = _mv(A[-1], dxs[-1]) + _mv(Bm[-1], dus[-1]) + xb[-1]
+    dxs = jnp.concatenate([dxs, dx_T[None]], axis=0)
+    o_dxs, o_dus = forward_fmpc_deltas_pallas(A, Bm, xb, ks, Ks, dx0)
+    np.testing.assert_allclose(np.asarray(o_dxs), np.asarray(dxs),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_dus), np.asarray(dus),
+                               atol=2e-5)
+
+
+def test_fmpc_forward_fused_solve_end_to_end(interpret_pallas):
+    """Full FMPC solve_batch with forward_impl='fused' vs 'scan' (both on
+    the stacked backward): statuses, iters, and converged variables agree
+    tightly at a pre-chaos iteration budget."""
+    import dataclasses
+    from nmpc_tpu.core.types import FmpcConfig, fmpc_variable_reset
+    from nmpc_tpu.models.oscillator import make_oscillator_problem
+    from nmpc_tpu.solvers.fmpc import FmpcSolver
+
+    p = make_oscillator_problem(0.01)
+    B, N = 128, 20
+    nx, nu, ng = p.state_dim, p.input_dim, p.ineq_dim
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((0.3 * rng.normal(size=(B, nx))).astype(np.float32))
+    var1 = fmpc_variable_reset(N, nx, nu, ng, dtype=jnp.float32)
+    vars_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), var1)
+    eps0 = jnp.full((B,), 1e-4, jnp.float32)
+    base = FmpcConfig(horizon_steps=N, max_iter=3,
+                      init_complementary_variable=True)
+    res = {}
+    for fwd in ("scan", "fused"):
+        c = dataclasses.replace(base, backward_impl="stacked",
+                                forward_impl=fwd)
+        res[fwd] = FmpcSolver(p, c).solve_batch(
+            jnp.float32(0.0), x0s, vars_b, eps0)
+    a, b = res["scan"], res["fused"]
+    assert bool(jnp.all(a.status == b.status))
+    assert bool(jnp.all(a.iters == b.iters))
+    np.testing.assert_allclose(np.asarray(b.variable.us),
+                               np.asarray(a.variable.us), atol=2e-4)
+
+
 def test_chunk_chooser_properties():
     """(C, SUB) from _choose_chunk: C divides N, SUB divides B4, and the
     scratch + double-buffered outputs fit the VMEM budget."""
