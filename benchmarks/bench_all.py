@@ -143,6 +143,34 @@ def bench_fmpc_oscillator():
             "vs_baseline": None}
 
 
+def bench_fmpc_cartpole_serving():
+    """FMPC at the pallas SERVING shape (cart-pole N=100, ng=4, B=4096 —
+    where ``auto`` routes to the fused backward AND the round-5 fused
+    forward delta recursion).  kkt_thre=0 pins fixed work so the row is
+    comparable across rounds."""
+    import jax as _jax
+    from nmpc_tpu import FmpcConfig, FmpcSolver, fmpc_variable_reset
+    from nmpc_tpu.models.cartpole import make_cartpole_fmpc_problem
+
+    p = make_cartpole_fmpc_problem(0.01)
+    solver = FmpcSolver(p, FmpcConfig(horizon_steps=100, max_iter=5,
+                                      kkt_error_thre=0.0,
+                                      init_complementary_variable=True))
+    B = 4096
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray((0.15 * rng.normal(size=(B, 4))).astype(np.float32))
+    var1 = fmpc_variable_reset(100, p.state_dim, p.input_dim, p.ineq_dim,
+                               dtype=jnp.float32)
+    vars_b = _jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), var1)
+    epss = jnp.full((B,), 1e-4, jnp.float32)
+    dt = _timeit(lambda: solver.solve_batch(jnp.float32(0.0), x0s, vars_b,
+                                            epss), n=16)
+    return {"metric": "fmpc_cartpole_serving_solves_per_s",
+            "value": round(B / dt, 1), "unit": "solves/s",
+            "vs_baseline": None}
+
+
 def bench_cgmres_damper():
     """Config #5: C/GMRES continuation, semiactive damper, batched
     controllers (vmap over initial conditions)."""
@@ -285,7 +313,8 @@ def bench_parallel_riccati():
 
 ALL = [bench_ddp_cartpole, bench_ddp_bipedal, bench_boxed_ddp_vertical,
        bench_boxed_ddp_centroidal,
-       bench_fmpc_oscillator, bench_cgmres_damper,
+       bench_fmpc_oscillator, bench_fmpc_cartpole_serving,
+       bench_cgmres_damper,
        bench_cgmres_fleet_closed_loop, bench_p99_latency,
        bench_parallel_riccati]
 
